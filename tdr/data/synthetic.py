@@ -1,0 +1,134 @@
+"""Deterministic synthetic multilingual corpus + query generator.
+
+The reference's dataset (268k-doc `corpus.json`, Kaggle CSVs) is not
+redistributable and is absent here, so tests and benchmarks run on synthetic
+corpora with the same *shape*: 7 languages with the reference's per-language
+proportions (final_implementation.py:310-318), Zipf-distributed vocabulary,
+long documents, and queries that reference their target document's signature
+terms (so Recall@k is a meaningful, non-trivial score).
+
+Everything is seeded — same spec ⇒ byte-identical corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdr.data.loaders import Corpus, QuerySet
+
+# reference per-language corpus proportions (268,022 total)
+REF_PROPORTIONS = {
+    "en": 207_363 / 268_022,
+    "it": 11_250 / 268_022,
+    "es": 11_019 / 268_022,
+    "de": 10_992 / 268_022,
+    "fr": 10_676 / 268_022,
+    "ar": 8_829 / 268_022,
+    "ko": 7_893 / 268_022,
+}
+
+_LATIN_SYLLABLES = "ba be bi bo bu da de di do du ka ke ki ko ku la le li lo lu ma me mi mo mu na ne ni no nu pa pe pi po pu ra re ri ro ru sa se si so su ta te ti to tu va ve vi vo vu za ze zi zo zu".split()
+_AR_CHARS = list("ابتثجحخدذرزسشصضطظعغفقكلمنهوي")
+_KO_ONSET = list("가나다라마바사아자차카타파하고노도로모보소오조초코토포호구누두루무부수우주추쿠투푸후")
+
+
+def _make_word(rng: np.random.RandomState, lang: str) -> str:
+    if lang == "ar":
+        n = rng.randint(3, 7)
+        return "".join(rng.choice(_AR_CHARS) for _ in range(n))
+    if lang == "ko":
+        n = rng.randint(2, 4)
+        return "".join(rng.choice(_KO_ONSET) for _ in range(n))
+    n = rng.randint(2, 5)
+    return "".join(rng.choice(_LATIN_SYLLABLES) for _ in range(n))
+
+
+@dataclass(frozen=True)
+class SyntheticSpec:
+    n_docs: int = 2000
+    n_queries: int = 200
+    seed: int = 0
+    langs: Sequence[str] = ("ar", "de", "en", "es", "fr", "it", "ko")
+    ref_proportions: bool = True
+    vocab_per_lang: int = 4000
+    doc_len_mean: int = 120          # tokens per document (pre-preprocess)
+    query_len: int = 6
+    signature_terms: int = 4         # per-doc distinctive terms
+    noise_query_terms: int = 2       # common terms mixed into each query
+
+
+def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, QuerySet]:
+    rng = np.random.RandomState(spec.seed)
+    langs = list(spec.langs)
+
+    # per-language doc counts
+    if spec.ref_proportions:
+        props = np.array([REF_PROPORTIONS.get(l, 1.0 / len(langs)) for l in langs])
+        props = props / props.sum()
+    else:
+        props = np.full(len(langs), 1.0 / len(langs))
+    counts = np.maximum(1, (props * spec.n_docs).astype(int))
+    counts[0] += spec.n_docs - counts.sum()
+
+    # per-language vocab: common pool (Zipf) + unique signature pool
+    vocabs: Dict[str, List[str]] = {}
+    for lang in langs:
+        seen, words = set(), []
+        wrng = np.random.RandomState(hash((spec.seed, lang)) % (2**31))
+        while len(words) < spec.vocab_per_lang:
+            w = _make_word(wrng, lang)
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+        vocabs[lang] = words
+
+    docids: List[str] = []
+    texts: List[str] = []
+    doc_langs: List[str] = []
+    signatures: List[List[str]] = []
+
+    did = 0
+    for lang, cnt in zip(langs, counts):
+        vocab = vocabs[lang]
+        n_common = len(vocab) // 2
+        common, rare = vocab[:n_common], vocab[n_common:]
+        zipf_p = 1.0 / np.arange(1, n_common + 1)
+        zipf_p /= zipf_p.sum()
+        for _ in range(int(cnt)):
+            length = max(10, int(rng.normal(spec.doc_len_mean, spec.doc_len_mean / 4)))
+            body = list(rng.choice(common, size=length, p=zipf_p))
+            sig = list(rng.choice(rare, size=spec.signature_terms, replace=False))
+            # sprinkle signature terms through the doc (appear 2-4x each)
+            for s in sig:
+                for _ in range(rng.randint(2, 5)):
+                    body.insert(rng.randint(0, len(body)), s)
+            docids.append(f"doc-{lang}-{did}")
+            texts.append(" ".join(body))
+            doc_langs.append(lang)
+            signatures.append(sig)
+            did += 1
+
+    corpus = Corpus(docids, texts, doc_langs)
+
+    # queries: signature terms of a random target doc + common-noise terms
+    q_ids: List[str] = []
+    q_texts: List[str] = []
+    q_langs: List[str] = []
+    q_pos: List[str] = []
+    for qi in range(spec.n_queries):
+        t = rng.randint(0, len(docids))
+        lang = doc_langs[t]
+        vocab = vocabs[lang]
+        n_common = len(vocab) // 2
+        terms = list(signatures[t])[: spec.query_len]
+        terms += list(rng.choice(vocab[:n_common], size=spec.noise_query_terms))
+        rng.shuffle(terms)
+        q_ids.append(str(qi))
+        q_texts.append(" ".join(terms))
+        q_langs.append(lang)
+        q_pos.append(docids[t])
+    queries = QuerySet(q_ids, q_texts, q_langs, positive_docs=q_pos)
+    return corpus, queries
