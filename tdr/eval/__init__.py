@@ -1,0 +1,10 @@
+from tdr.eval.metrics import recall_at_k, mrr_at_k, evaluate_retrieval
+from tdr.eval.submission import write_submission, validate_submission
+
+__all__ = [
+    "recall_at_k",
+    "mrr_at_k",
+    "evaluate_retrieval",
+    "write_submission",
+    "validate_submission",
+]

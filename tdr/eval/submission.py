@@ -1,0 +1,53 @@
+"""Submission writer + validator.
+
+Output contract: ``submission.csv`` with columns ``id, docids`` where docids
+is a 10-element python-list literal per query (bm25_ranking.ipynb:399-407,
+final_implementation.py:527-530, submission.csv:1).  The validator re-checks
+what debug.py:1-15 checks (duplicate ids) plus row-shape errors.
+"""
+
+from __future__ import annotations
+
+import ast
+import csv
+from typing import List, Sequence
+
+
+def write_submission(
+    retrieved: Sequence[Sequence[str]], path: str, ids: Sequence[str] = None, k: int = 10
+) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "docids"])
+        for i, docs in enumerate(retrieved):
+            qid = ids[i] if ids is not None else i
+            w.writerow([qid, str(list(docs[:k]))])
+
+
+def validate_submission(path: str, expect_k: int = 10) -> List[str]:
+    """Returns a list of problems (empty = valid)."""
+    problems: List[str] = []
+    seen = set()
+    with open(path) as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        if header is None or [h.strip() for h in header[:2]] != ["id", "docids"]:
+            problems.append(f"bad header: {header}")
+        for row_num, row in enumerate(reader, start=2):
+            if len(row) < 2:
+                problems.append(f"row {row_num}: missing columns")
+                continue
+            qid, docids_s = row[0], row[1]
+            if qid in seen:
+                problems.append(f"row {row_num}: duplicate id {qid!r}")
+            seen.add(qid)
+            try:
+                docids = ast.literal_eval(docids_s)
+            except (ValueError, SyntaxError):
+                problems.append(f"row {row_num}: unparseable docids")
+                continue
+            if not isinstance(docids, list) or len(docids) != expect_k:
+                problems.append(f"row {row_num}: expected {expect_k} docids, got {len(docids) if isinstance(docids, list) else type(docids)}")
+            elif len(set(docids)) != len(docids):
+                problems.append(f"row {row_num}: duplicate docids within query")
+    return problems

@@ -1,0 +1,15 @@
+from tdr.index.build import (
+    SparseIndex,
+    IndexStats,
+    build_index,
+    compute_idf,
+    build_tfidf_index,
+)
+
+__all__ = [
+    "SparseIndex",
+    "IndexStats",
+    "build_index",
+    "compute_idf",
+    "build_tfidf_index",
+]

@@ -1,0 +1,289 @@
+"""L2 index build: term-doc statistics + the sparse score-row index, on device.
+
+The reference builds its index with Python dict loops — per-doc Counters, DF
+dicts, inverted index lists (BM25.build, bm25_ranking.ipynb:178-190;
+compute_tf_df_and_avgdl, cosine_similarity_bm25_reranking.py:129-172).  Here
+the whole build is XLA segment ops over flat COO arrays: DF via segment_sum,
+IDF as a vectorized formula, CSR layout via one stable sort — one fused,
+jittable pass (SURVEY.md §7 step 2).
+
+TPU-first layout — the *sparse score-row index*:
+
+Every retrieval model in the reference (Okapi BM25, TF-IDF cosine) scores a
+query as  ``score(q, d) = Σ_t  q_weight[t] · row[t, d]``  where ``row`` is a
+per-term vector over documents (BM25: idf·tf·(k1+1)/(tf+k1·(1−b+dl/avgdl));
+TF-IDF: normalized tf·idf).  Postings lengths span 1..200k+ docs, which a
+static-shape machine cannot gather uniformly, so rows are split by document
+frequency:
+
+* **head** — the top-D terms by df (D capped by an HBM byte budget) get
+  fully dense rows ``head_rows (D, N_pad)``.  These terms own almost all
+  nnz mass; scoring them is sequential row gathers + VPU accumulate
+  (HBM-bandwidth bound, no MXU waste on one-hot matmuls).
+* **tail** — everything else stays in a flat CSR (sorted by term) and is
+  scored with static-width masked gathers: tail df is bounded by the head
+  threshold, so ``tail_pmax`` is a true static bound, not a truncation.
+
+This replaces both the reference's Python postings walk
+(bm25_ranking.ipynb:191-205) and its scipy CSR SpMM
+(cosine_similarity_bm25_reranking.py:226).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdr.utils.config import BM25Config, IndexConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# IDF — all three reference variants (SURVEY.md §2a "IDF computation")
+# --------------------------------------------------------------------------
+
+def compute_idf(df: jnp.ndarray, n_docs: int, variant: str = "bm25") -> jnp.ndarray:
+    """df (V,) → idf (V,).
+
+    variant="bm25":       ln(1 + (N-df+0.5)/(df+0.5))   bm25_ranking.ipynb:188-190
+    variant="bm25_plus1": ln((N-df+0.5)/(df+0.5) + 1)   team_run1.py:187 (same value)
+    variant="classic":    ln((N+1)/(df+1)) + 1          faiss_based_ANN_Implementation.py:88
+    """
+    df = df.astype(jnp.float32)
+    n = jnp.float32(n_docs)
+    if variant in ("bm25", "bm25_plus1"):
+        return jnp.log1p((n - df + 0.5) / (df + 0.5))
+    if variant == "classic":
+        return jnp.log((n + 1.0) / (df + 1.0)) + 1.0
+    raise ValueError(f"unknown idf variant: {variant}")
+
+
+# --------------------------------------------------------------------------
+# Index containers (pytrees)
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class IndexStats:
+    """Per-language corpus statistics (the reference's tf/df/avgdl pickles)."""
+
+    df: jnp.ndarray          # (V,) float32
+    idf: jnp.ndarray         # (V,) float32
+    doc_len: jnp.ndarray     # (N_pad,) float32, zero beyond n_docs
+    avgdl: jnp.ndarray       # () float32
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SparseIndex:
+    """Sparse score-row index: dense head + flat-CSR tail.
+
+    Static (aux) fields carry shapes the scoring jit specializes on.
+    """
+
+    # flat CSR over ALL terms (canonical artifact; checkpointed)
+    indptr: jnp.ndarray          # (V+1,) int32
+    postings_doc: jnp.ndarray    # (nnz_pad,) int32, padded with 0
+    postings_w: jnp.ndarray      # (nnz_pad,) float32 score weights, padded 0
+    postings_tf: jnp.ndarray     # (nnz_pad,) float32 raw tf, padded 0
+    # dense head
+    head_slot: jnp.ndarray       # (V,) int32: slot in head_rows, or -1
+    head_rows: jnp.ndarray       # (D, N_pad) float32 (or bf16)
+    stats: IndexStats
+
+    n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_docs_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+    vocab_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+    tail_pmax: int = dataclasses.field(metadata=dict(static=True), default=0)
+    head_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.postings_doc.shape[0])
+
+    def memory_bytes(self) -> int:
+        return sum(
+            np.prod(x.shape) * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(self)
+        )
+
+
+# --------------------------------------------------------------------------
+# Device-side build core
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("vocab_size", "n_docs", "n_docs_pad", "head_size", "idf_variant", "k1", "b", "dl_scaled_by_b", "weight_kind"))
+def _build_core(
+    doc_ids: jnp.ndarray,      # (nnz_pad,) int32, padded entries have term_id == vocab_size
+    term_ids: jnp.ndarray,     # (nnz_pad,) int32
+    tfs: jnp.ndarray,          # (nnz_pad,) float32, padded 0
+    doc_len: jnp.ndarray,      # (n_docs_pad,) float32
+    *,
+    vocab_size: int,
+    n_docs: int,
+    n_docs_pad: int,
+    head_size: int,
+    idf_variant: str,
+    k1: float,
+    b: float,
+    dl_scaled_by_b: bool,
+    weight_kind: str,          # "bm25" | "tfidf"
+):
+    valid = term_ids < vocab_size
+    t_clamped = jnp.where(valid, term_ids, 0)
+
+    # DF / IDF / avgdl — segment reductions replace the reference dict loops
+    df = jax.ops.segment_sum(valid.astype(jnp.float32), t_clamped, num_segments=vocab_size)
+    idf = compute_idf(df, n_docs, idf_variant)
+    avgdl = jnp.sum(doc_len) / jnp.float32(n_docs)
+
+    # per-entry score weight
+    dl = doc_len[jnp.clip(doc_ids, 0, n_docs_pad - 1)]
+    if weight_kind == "bm25":
+        # denominator: tf + k1*(1 - b + [b·]dl/avgdl); the winning reference
+        # variant does NOT scale dl/avgdl by b (bm25_ranking.ipynb:202)
+        norm = (b if dl_scaled_by_b else 1.0) * dl / avgdl
+        denom = tfs + k1 * (1.0 - b + norm)
+        w = idf[t_clamped] * tfs * (k1 + 1.0) / jnp.where(denom > 0, denom, 1.0)
+    elif weight_kind == "tfidf":
+        # tf·idf rows; L2-normalized per document below
+        w = idf[t_clamped] * tfs
+    else:
+        raise ValueError(weight_kind)
+    w = jnp.where(valid, w, 0.0)
+
+    if weight_kind == "tfidf":
+        # per-doc L2 norm over tfidf values, applied to every entry
+        sq = jax.ops.segment_sum(w * w, jnp.clip(doc_ids, 0, n_docs_pad - 1), num_segments=n_docs_pad)
+        inv = jnp.where(sq > 0, jax.lax.rsqrt(sq), 0.0)
+        w = w * inv[jnp.clip(doc_ids, 0, n_docs_pad - 1)]
+
+    # CSR layout: stable sort by term id (padding term_id==V sorts last)
+    order = jnp.argsort(term_ids, stable=True)
+    postings_doc = jnp.where(valid[order], doc_ids[order], 0).astype(jnp.int32)
+    postings_w = w[order]
+    postings_tf = jnp.where(valid[order], tfs[order], 0.0)
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(df.astype(jnp.int32))]
+    )
+
+    # head selection: top-D terms by df
+    if head_size > 0:
+        head_df, head_terms = jax.lax.top_k(df, head_size)
+        head_slot = jnp.full((vocab_size,), -1, jnp.int32)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (head_size, 1), 0).squeeze(-1)
+        # only terms with df>0 become head terms
+        head_slot = head_slot.at[head_terms].set(jnp.where(head_df > 0, slot_ids, -1))
+        entry_slot = head_slot[t_clamped]
+        in_head = (entry_slot >= 0) & valid
+        # dense rows: scatter premultiplied weights
+        head_rows = jnp.zeros((head_size, n_docs_pad), jnp.float32)
+        head_rows = head_rows.at[
+            jnp.where(in_head, entry_slot, 0),
+            jnp.clip(doc_ids, 0, n_docs_pad - 1),
+        ].add(jnp.where(in_head, w, 0.0))
+        # max tail df → static gather width (computed on host afterwards)
+        tail_df_max = jnp.max(jnp.where(head_slot >= 0, 0.0, df))
+    else:
+        head_slot = jnp.full((vocab_size,), -1, jnp.int32)
+        head_rows = jnp.zeros((1, n_docs_pad), jnp.float32)
+        tail_df_max = jnp.max(df) if vocab_size else jnp.float32(0)
+
+    stats = IndexStats(df=df, idf=idf, doc_len=doc_len, avgdl=avgdl)
+    return indptr, postings_doc, postings_w, postings_tf, head_slot, head_rows, stats, tail_df_max
+
+
+def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
+    """Head row count from the HBM byte budget (f32 rows)."""
+    if n_docs_pad == 0:
+        return 0
+    d = int(cfg.head_budget_bytes // (4 * n_docs_pad))
+    d = max(0, min(d, vocab_size))
+    # keep the head a multiple of 8 sublanes (and 0 allowed)
+    return (d // 8) * 8 if d >= 8 else (1 if d > 0 else 0)
+
+
+def build_index(
+    doc_ids: np.ndarray,
+    term_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    vocab_size: int,
+    bm25: BM25Config = BM25Config(),
+    index_cfg: IndexConfig = IndexConfig(),
+    weight_kind: str = "bm25",
+    head_size: Optional[int] = None,
+) -> SparseIndex:
+    """Host wrapper: pad COO to static shapes, run the jitted build, and
+    derive the static tail gather width.
+
+    Inputs are the COO arrays from ``tdr.text.encode_docs`` (one entry per
+    unique (doc, term) pair).
+    """
+    n_docs = int(doc_lens.shape[0])
+    n_docs_pad = max(_round_up(max(n_docs, 1), index_cfg.doc_pad_multiple), index_cfg.doc_pad_multiple)
+    nnz = int(doc_ids.shape[0])
+    nnz_pad = max(_round_up(max(nnz, 1), index_cfg.nnz_pad_multiple), index_cfg.nnz_pad_multiple)
+
+    di = np.zeros(nnz_pad, np.int32)
+    ti = np.full(nnz_pad, vocab_size, np.int32)   # sentinel pads sort last
+    tv = np.zeros(nnz_pad, np.float32)
+    di[:nnz] = doc_ids
+    ti[:nnz] = term_ids
+    tv[:nnz] = tfs
+    dl = np.zeros(n_docs_pad, np.float32)
+    dl[:n_docs] = doc_lens
+
+    if head_size is None:
+        if index_cfg.head_min_df > 0:
+            head_size = int((np.bincount(term_ids, minlength=vocab_size) >= index_cfg.head_min_df).sum()) if nnz else 0
+        else:
+            head_size = _auto_head_size(vocab_size, n_docs_pad, index_cfg)
+    head_size = min(head_size, vocab_size)
+
+    (indptr, postings_doc, postings_w, postings_tf, head_slot, head_rows,
+     stats, tail_df_max) = _build_core(
+        jnp.asarray(di), jnp.asarray(ti), jnp.asarray(tv), jnp.asarray(dl),
+        vocab_size=vocab_size, n_docs=n_docs, n_docs_pad=n_docs_pad,
+        head_size=head_size, idf_variant=bm25.idf_variant, k1=bm25.k1,
+        b=bm25.b, dl_scaled_by_b=bm25.dl_scaled_by_b, weight_kind=weight_kind,
+    )
+
+    tail_pmax = int(np.asarray(tail_df_max))
+    # static gather width: multiple of 128 lanes, at least 8
+    tail_pmax = max(8, _round_up(max(tail_pmax, 1), 128)) if tail_pmax > 0 else 8
+
+    return SparseIndex(
+        indptr=indptr,
+        postings_doc=postings_doc,
+        postings_w=postings_w,
+        postings_tf=postings_tf,
+        head_slot=head_slot,
+        head_rows=head_rows,
+        stats=stats,
+        n_docs=n_docs,
+        n_docs_pad=n_docs_pad,
+        vocab_size=vocab_size,
+        tail_pmax=tail_pmax,
+        head_size=head_size,
+    )
+
+
+def build_tfidf_index(*args, **kwargs) -> SparseIndex:
+    """TF-IDF cosine index: same layout, L2-normalized tf·idf rows
+    (cosine_similarity_bm25_reranking.py:72-110 + :210-211 semantics —
+    the hand-rolled sparse embedder with classic idf, normalized docs)."""
+    kwargs.setdefault("weight_kind", "tfidf")
+    bm25 = kwargs.pop("bm25", BM25Config(idf_variant="classic"))
+    if bm25.idf_variant == "bm25":
+        bm25 = dataclasses.replace(bm25, idf_variant="classic")
+    return build_index(*args, bm25=bm25, **kwargs)

@@ -1,0 +1,121 @@
+"""Sparse retrieval models: per-language BM25 and TF-IDF cosine.
+
+A *model* bundles vocab + sparse score-row index + docid table for one
+document partition (usually one language — the reference keeps one BM25
+model + docid map per language, bm25_ranking.ipynb:262-325,
+final_implementation.py:320-330).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tdr.index.build import SparseIndex, build_index, build_tfidf_index
+from tdr.ops.score import score_and_topk, score_batch, score_pairs
+from tdr.text.preprocess import Preprocessor
+from tdr.text.vocab import Vocab, build_vocab, encode_docs, encode_queries
+from tdr.utils.config import BM25Config, IndexConfig, RetrievalConfig
+
+
+@dataclass
+class SparseModel:
+    """Common machinery for BM25 / TF-IDF models over one doc partition."""
+
+    vocab: Vocab
+    index: SparseIndex
+    docids: List[str]
+    lang: str = "en"
+    max_query_terms: int = 64
+    query_weight: str = "unit"        # "unit" (BM25) | "idf" (cosine)
+
+    # -- query encoding ------------------------------------------------------
+
+    def encode_query_tokens(
+        self, token_lists: Sequence[Sequence[str]]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        qids, qw = encode_queries(token_lists, self.vocab, self.max_query_terms)
+        if self.query_weight == "idf":
+            # cosine query vector = idf per present term
+            # (cosine_similarity_bm25_reranking.py:121-126)
+            idf = np.asarray(self.index.stats.idf)
+            qw = np.where(qw > 0, idf[np.clip(qids, 0, idf.shape[0] - 1)] * qw, 0.0).astype(np.float32)
+        return jnp.asarray(qids), jnp.asarray(qw)
+
+    # -- scoring -------------------------------------------------------------
+
+    def topk_tokens(
+        self, token_lists: Sequence[Sequence[str]], k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores (Q,k), local doc rows (Q,k)) for tokenized queries."""
+        qids, qw = self.encode_query_tokens(token_lists)
+        vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
+        return np.asarray(vals), np.asarray(rows)
+
+    def retrieve_tokens(
+        self, token_lists: Sequence[Sequence[str]], k: int = 10
+    ) -> List[List[str]]:
+        """Top-k docid lists (the reference's retrieve_top_n,
+        bm25_ranking.ipynb:206-213, mapped through the docid table).
+        -inf pad entries (k > corpus size) are dropped."""
+        vals, rows = self.topk_tokens(token_lists, k)
+        return [
+            [self.docids[r] for r, v in zip(qrow, qvals) if np.isfinite(v)]
+            for qrow, qvals in zip(rows, vals)
+        ]
+
+    def score_candidates_tokens(
+        self, token_lists: Sequence[Sequence[str]], cand_rows: np.ndarray
+    ) -> np.ndarray:
+        """(Q, C) scores for explicit candidate rows (cascade re-rank)."""
+        qids, qw = self.encode_query_tokens(token_lists)
+        return np.asarray(score_pairs(self.index, qids, qw, jnp.asarray(cand_rows)))
+
+
+@dataclass
+class BM25Model(SparseModel):
+    """Okapi BM25 (the reference's winning engine, bm25_ranking.ipynb:166-213)."""
+
+    @classmethod
+    def build(
+        cls,
+        doc_token_lists: Sequence[Sequence[str]],
+        docids: Sequence[str],
+        lang: str = "en",
+        bm25: BM25Config = BM25Config(),
+        index_cfg: IndexConfig = IndexConfig(),
+        max_query_terms: int = 64,
+        head_size: Optional[int] = None,
+    ) -> "BM25Model":
+        vocab = build_vocab(doc_token_lists, min_df=index_cfg.min_df)
+        coo = encode_docs(doc_token_lists, vocab)
+        index = build_index(*coo, vocab.size, bm25=bm25, index_cfg=index_cfg,
+                            weight_kind="bm25", head_size=head_size)
+        return cls(vocab=vocab, index=index, docids=list(docids), lang=lang,
+                   max_query_terms=max_query_terms, query_weight="unit")
+
+
+@dataclass
+class TfidfCosineModel(SparseModel):
+    """TF-IDF + cosine similarity (cosine_similarity_bm25_reranking.py:72-126,
+    198-238): L2-normalized tf·idf doc rows, idf-weighted query vector."""
+
+    @classmethod
+    def build(
+        cls,
+        doc_token_lists: Sequence[Sequence[str]],
+        docids: Sequence[str],
+        lang: str = "en",
+        index_cfg: IndexConfig = IndexConfig(),
+        max_query_terms: int = 64,
+        head_size: Optional[int] = None,
+    ) -> "TfidfCosineModel":
+        vocab = build_vocab(doc_token_lists, min_df=index_cfg.min_df)
+        coo = encode_docs(doc_token_lists, vocab)
+        index = build_tfidf_index(*coo, vocab.size, index_cfg=index_cfg,
+                                  head_size=head_size)
+        return cls(vocab=vocab, index=index, docids=list(docids), lang=lang,
+                   max_query_terms=max_query_terms, query_weight="idf")

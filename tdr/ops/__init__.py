@@ -1,0 +1,13 @@
+from tdr.ops.score import (
+    score_batch,
+    score_and_topk,
+    score_pairs,
+    topk_masked,
+)
+
+__all__ = [
+    "score_batch",
+    "score_and_topk",
+    "score_pairs",
+    "topk_masked",
+]

@@ -1,0 +1,106 @@
+"""L4 retrieval orchestration: per-language model routing + query batching.
+
+The reference's expert-parallel analogue: 7 independent per-language BM25
+models with docid maps; queries grouped by language and routed
+(bm25_ranking.ipynb:262-325, 368-395; final_implementation.py:320-330
+groupby("lang"); SURVEY.md §2c "Model partitioning by language").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Type
+
+import numpy as np
+
+from tdr.data.loaders import Corpus
+from tdr.models.sparse import BM25Model, SparseModel, TfidfCosineModel
+from tdr.text.preprocess import Preprocessor
+from tdr.utils.config import BM25Config, IndexConfig, RetrievalConfig
+from tdr.utils.trace import Tracer, log
+
+
+def build_language_models(
+    corpus: Corpus,
+    model_cls: Type[SparseModel] = BM25Model,
+    preprocessor: Optional[Preprocessor] = None,
+    bm25: BM25Config = BM25Config(),
+    index_cfg: IndexConfig = IndexConfig(),
+    max_query_terms: int = 64,
+    head_size: Optional[int] = None,
+    tracer: Optional[Tracer] = None,
+) -> Dict[str, SparseModel]:
+    """Partition corpus by language, preprocess, and build one model per
+    language (bm25_ranking.ipynb:262-313)."""
+    pp = preprocessor or Preprocessor("best")
+    tracer = tracer or Tracer("build_language_models")
+    by_lang: Dict[str, List[int]] = {}
+    for i, lang in enumerate(corpus.langs):
+        by_lang.setdefault(lang, []).append(i)
+
+    models: Dict[str, SparseModel] = {}
+    for lang, rows in sorted(by_lang.items()):
+        with tracer.span(f"build:{lang}", n_docs=len(rows)):
+            toks = [pp(corpus.texts[i], lang) for i in rows]
+            docids = [corpus.docids[i] for i in rows]
+            kwargs = dict(lang=lang, index_cfg=index_cfg,
+                          max_query_terms=max_query_terms, head_size=head_size)
+            if model_cls is BM25Model:
+                kwargs["bm25"] = bm25
+            models[lang] = model_cls.build(toks, docids, **kwargs)
+        log.info("built %s model for '%s': %d docs, vocab %d, head %d, tail_pmax %d",
+                 model_cls.__name__, lang, len(rows),
+                 models[lang].vocab.size, models[lang].index.head_size,
+                 models[lang].index.tail_pmax)
+    return models
+
+
+@dataclass
+class LanguageRouter:
+    """Routes queries to per-language models and merges results in input
+    order (retrieve_test_queries, bm25_ranking.ipynb:368-395)."""
+
+    models: Dict[str, SparseModel]
+    preprocessor: Preprocessor = field(default_factory=lambda: Preprocessor("best"))
+    query_batch: int = 128
+    default_lang: str = "en"
+
+    def _group(self, langs: Sequence[str]) -> Dict[str, List[int]]:
+        groups: Dict[str, List[int]] = {}
+        for i, lang in enumerate(langs):
+            key = lang if lang in self.models else self.default_lang
+            groups.setdefault(key, []).append(i)
+        return groups
+
+    def retrieve(
+        self, queries: Sequence[str], langs: Sequence[str], k: int = 10
+    ) -> List[List[str]]:
+        """Top-k docids per query, in input order."""
+        results: List[Optional[List[str]]] = [None] * len(queries)
+        for lang, q_idx in self._group(langs).items():
+            model = self.models[lang]
+            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            # batch to bound device memory (final_implementation.ipynb:470-506
+            # batches 100/200; here a single configurable batch size)
+            for s in range(0, len(q_idx), self.query_batch):
+                chunk = toks[s : s + self.query_batch]
+                ids = model.retrieve_tokens(chunk, k)
+                for j, out in zip(q_idx[s : s + self.query_batch], ids):
+                    results[j] = out
+        return [r if r is not None else [] for r in results]
+
+    def retrieve_with_scores(
+        self, queries: Sequence[str], langs: Sequence[str], k: int = 10
+    ) -> Tuple[List[List[str]], np.ndarray]:
+        docid_out: List[Optional[List[str]]] = [None] * len(queries)
+        score_out = np.zeros((len(queries), k), np.float32)
+        for lang, q_idx in self._group(langs).items():
+            model = self.models[lang]
+            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            for s in range(0, len(q_idx), self.query_batch):
+                sel = q_idx[s : s + self.query_batch]
+                vals, rows = model.topk_tokens(toks[s : s + self.query_batch], k)
+                for j, (v, rr) in zip(sel, zip(vals, rows)):
+                    docid_out[j] = [model.docids[r] for r in rr]
+                    score_out[j] = v
+        return [r if r is not None else [] for r in docid_out], score_out
