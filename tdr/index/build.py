@@ -4,8 +4,8 @@ The reference builds its index with Python dict loops — per-doc Counters, DF
 dicts, inverted index lists (BM25.build, bm25_ranking.ipynb:178-190;
 compute_tf_df_and_avgdl, cosine_similarity_bm25_reranking.py:129-172).  Here
 the whole build is XLA segment ops over flat COO arrays: DF via segment_sum,
-IDF as a vectorized formula, CSR layout via one stable sort — one fused,
-jittable pass (SURVEY.md §7 step 2).
+IDF as a vectorized formula, CSR layout via one stable sort — jittable passes
+(SURVEY.md §7 step 2).
 
 TPU-first layout — the *sparse score-row index*:
 
@@ -24,9 +24,9 @@ frequency:
   scored with static-width masked gathers: tail df is bounded by the head
   threshold, so ``tail_pmax`` is a true static bound, not a truncation.
 
-This replaces both the reference's Python postings walk
-(bm25_ranking.ipynb:191-205) and its scipy CSR SpMM
-(cosine_similarity_bm25_reranking.py:226).
+Global statistics (idf, avgdl, head-term selection) are *inputs* to the core
+build so a document-sharded index (tdr.parallel) can inject corpus-global
+values while each shard lays out only its local postings.
 """
 
 from __future__ import annotations
@@ -67,6 +67,29 @@ def compute_idf(df: jnp.ndarray, n_docs: int, variant: str = "bm25") -> jnp.ndar
     raise ValueError(f"unknown idf variant: {variant}")
 
 
+@partial(jax.jit, static_argnames=("vocab_size",))
+def segment_df(term_ids: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
+    """Document frequency per term from COO term ids (padding = vocab_size)."""
+    valid = term_ids < vocab_size
+    return jax.ops.segment_sum(
+        valid.astype(jnp.float32),
+        jnp.where(valid, term_ids, 0),
+        num_segments=vocab_size,
+    )
+
+
+@partial(jax.jit, static_argnames=("head_size",))
+def select_head(df: jnp.ndarray, head_size: int) -> jnp.ndarray:
+    """head_slot (V,): slot id in [0, head_size) for the top-df terms, -1 else."""
+    vocab_size = df.shape[0]
+    head_slot = jnp.full((vocab_size,), -1, jnp.int32)
+    if head_size > 0:
+        head_df, head_terms = jax.lax.top_k(df, head_size)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (head_size, 1), 0).squeeze(-1)
+        head_slot = head_slot.at[head_terms].set(jnp.where(head_df > 0, slot_ids, -1))
+    return head_slot
+
+
 # --------------------------------------------------------------------------
 # Index containers (pytrees)
 # --------------------------------------------------------------------------
@@ -74,12 +97,17 @@ def compute_idf(df: jnp.ndarray, n_docs: int, variant: str = "bm25") -> jnp.ndar
 @jax.tree_util.register_dataclass
 @dataclass
 class IndexStats:
-    """Per-language corpus statistics (the reference's tf/df/avgdl pickles)."""
+    """Per-partition statistics (the reference's tf/df/avgdl pickles).
 
-    df: jnp.ndarray          # (V,) float32
-    idf: jnp.ndarray         # (V,) float32
+    ``df`` is the LOCAL postings length per term (drives CSR segment bounds);
+    ``idf`` and ``avgdl`` are GLOBAL when the index is a shard of a larger
+    corpus.
+    """
+
+    df: jnp.ndarray          # (V,) float32 — local postings length
+    idf: jnp.ndarray         # (V,) float32 — global idf
     doc_len: jnp.ndarray     # (N_pad,) float32, zero beyond n_docs
-    avgdl: jnp.ndarray       # () float32
+    avgdl: jnp.ndarray       # () float32 — global average doc length
 
 
 @jax.tree_util.register_dataclass
@@ -97,7 +125,7 @@ class SparseIndex:
     postings_tf: jnp.ndarray     # (nnz_pad,) float32 raw tf, padded 0
     # dense head
     head_slot: jnp.ndarray       # (V,) int32: slot in head_rows, or -1
-    head_rows: jnp.ndarray       # (D, N_pad) float32 (or bf16)
+    head_rows: jnp.ndarray       # (D, N_pad) float32
     stats: IndexStats
 
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -111,28 +139,31 @@ class SparseIndex:
         return int(self.postings_doc.shape[0])
 
     def memory_bytes(self) -> int:
-        return sum(
+        return int(sum(
             np.prod(x.shape) * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(self)
-        )
+        ))
 
 
 # --------------------------------------------------------------------------
 # Device-side build core
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("vocab_size", "n_docs", "n_docs_pad", "head_size", "idf_variant", "k1", "b", "dl_scaled_by_b", "weight_kind"))
+@partial(jax.jit, static_argnames=(
+    "vocab_size", "n_docs_pad", "head_size", "k1", "b", "dl_scaled_by_b",
+    "weight_kind"))
 def _build_core(
-    doc_ids: jnp.ndarray,      # (nnz_pad,) int32, padded entries have term_id == vocab_size
+    doc_ids: jnp.ndarray,      # (nnz_pad,) int32, padding has term_id == vocab_size
     term_ids: jnp.ndarray,     # (nnz_pad,) int32
     tfs: jnp.ndarray,          # (nnz_pad,) float32, padded 0
     doc_len: jnp.ndarray,      # (n_docs_pad,) float32
+    idf: jnp.ndarray,          # (V,) float32 — possibly corpus-global
+    head_slot: jnp.ndarray,    # (V,) int32 — possibly corpus-global selection
+    avgdl: jnp.ndarray,        # () float32 — possibly corpus-global
     *,
     vocab_size: int,
-    n_docs: int,
     n_docs_pad: int,
     head_size: int,
-    idf_variant: str,
     k1: float,
     b: float,
     dl_scaled_by_b: bool,
@@ -140,14 +171,14 @@ def _build_core(
 ):
     valid = term_ids < vocab_size
     t_clamped = jnp.where(valid, term_ids, 0)
+    d_clamped = jnp.clip(doc_ids, 0, n_docs_pad - 1)
 
-    # DF / IDF / avgdl — segment reductions replace the reference dict loops
-    df = jax.ops.segment_sum(valid.astype(jnp.float32), t_clamped, num_segments=vocab_size)
-    idf = compute_idf(df, n_docs, idf_variant)
-    avgdl = jnp.sum(doc_len) / jnp.float32(n_docs)
+    # local postings length per term (CSR segment bounds)
+    df_local = jax.ops.segment_sum(valid.astype(jnp.float32), t_clamped,
+                                   num_segments=vocab_size)
 
     # per-entry score weight
-    dl = doc_len[jnp.clip(doc_ids, 0, n_docs_pad - 1)]
+    dl = doc_len[d_clamped]
     if weight_kind == "bm25":
         # denominator: tf + k1*(1 - b + [b·]dl/avgdl); the winning reference
         # variant does NOT scale dl/avgdl by b (bm25_ranking.ipynb:202)
@@ -155,17 +186,16 @@ def _build_core(
         denom = tfs + k1 * (1.0 - b + norm)
         w = idf[t_clamped] * tfs * (k1 + 1.0) / jnp.where(denom > 0, denom, 1.0)
     elif weight_kind == "tfidf":
-        # tf·idf rows; L2-normalized per document below
         w = idf[t_clamped] * tfs
     else:
         raise ValueError(weight_kind)
     w = jnp.where(valid, w, 0.0)
 
     if weight_kind == "tfidf":
-        # per-doc L2 norm over tfidf values, applied to every entry
-        sq = jax.ops.segment_sum(w * w, jnp.clip(doc_ids, 0, n_docs_pad - 1), num_segments=n_docs_pad)
+        # per-doc L2 norm over tfidf values
+        sq = jax.ops.segment_sum(w * w, d_clamped, num_segments=n_docs_pad)
         inv = jnp.where(sq > 0, jax.lax.rsqrt(sq), 0.0)
-        w = w * inv[jnp.clip(doc_ids, 0, n_docs_pad - 1)]
+        w = w * inv[d_clamped]
 
     # CSR layout: stable sort by term id (padding term_id==V sorts last)
     order = jnp.argsort(term_ids, stable=True)
@@ -173,33 +203,21 @@ def _build_core(
     postings_w = w[order]
     postings_tf = jnp.where(valid[order], tfs[order], 0.0)
     indptr = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(df.astype(jnp.int32))]
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(df_local.astype(jnp.int32))]
     )
 
-    # head selection: top-D terms by df
-    if head_size > 0:
-        head_df, head_terms = jax.lax.top_k(df, head_size)
-        head_slot = jnp.full((vocab_size,), -1, jnp.int32)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (head_size, 1), 0).squeeze(-1)
-        # only terms with df>0 become head terms
-        head_slot = head_slot.at[head_terms].set(jnp.where(head_df > 0, slot_ids, -1))
-        entry_slot = head_slot[t_clamped]
-        in_head = (entry_slot >= 0) & valid
-        # dense rows: scatter premultiplied weights
-        head_rows = jnp.zeros((head_size, n_docs_pad), jnp.float32)
-        head_rows = head_rows.at[
-            jnp.where(in_head, entry_slot, 0),
-            jnp.clip(doc_ids, 0, n_docs_pad - 1),
-        ].add(jnp.where(in_head, w, 0.0))
-        # max tail df → static gather width (computed on host afterwards)
-        tail_df_max = jnp.max(jnp.where(head_slot >= 0, 0.0, df))
-    else:
-        head_slot = jnp.full((vocab_size,), -1, jnp.int32)
-        head_rows = jnp.zeros((1, n_docs_pad), jnp.float32)
-        tail_df_max = jnp.max(df) if vocab_size else jnp.float32(0)
+    # dense head rows: scatter premultiplied weights
+    entry_slot = head_slot[t_clamped]
+    in_head = (entry_slot >= 0) & valid
+    head_rows = jnp.zeros((max(head_size, 1), n_docs_pad), jnp.float32)
+    head_rows = head_rows.at[
+        jnp.where(in_head, entry_slot, 0), d_clamped
+    ].add(jnp.where(in_head, w, 0.0))
 
-    stats = IndexStats(df=df, idf=idf, doc_len=doc_len, avgdl=avgdl)
-    return indptr, postings_doc, postings_w, postings_tf, head_slot, head_rows, stats, tail_df_max
+    # max LOCAL tail df → static gather width (host reads it afterwards)
+    tail_df_max = jnp.max(jnp.where(head_slot >= 0, 0.0, df_local)) if vocab_size else jnp.float32(0)
+
+    return indptr, postings_doc, postings_w, postings_tf, head_rows, df_local, tail_df_max
 
 
 def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
@@ -208,8 +226,18 @@ def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
         return 0
     d = int(cfg.head_budget_bytes // (4 * n_docs_pad))
     d = max(0, min(d, vocab_size))
-    # keep the head a multiple of 8 sublanes (and 0 allowed)
     return (d // 8) * 8 if d >= 8 else (1 if d > 0 else 0)
+
+
+def _pad_coo(doc_ids, term_ids, tfs, vocab_size, nnz_pad):
+    nnz = int(doc_ids.shape[0])
+    di = np.zeros(nnz_pad, np.int32)
+    ti = np.full(nnz_pad, vocab_size, np.int32)   # sentinel pads sort last
+    tv = np.zeros(nnz_pad, np.float32)
+    di[:nnz] = doc_ids
+    ti[:nnz] = term_ids
+    tv[:nnz] = tfs
+    return di, ti, tv
 
 
 def build_index(
@@ -222,52 +250,76 @@ def build_index(
     index_cfg: IndexConfig = IndexConfig(),
     weight_kind: str = "bm25",
     head_size: Optional[int] = None,
+    # sharded-build overrides (corpus-global statistics)
+    idf: Optional[np.ndarray] = None,
+    head_slot: Optional[np.ndarray] = None,
+    avgdl: Optional[float] = None,
+    n_docs_pad: Optional[int] = None,
+    nnz_pad: Optional[int] = None,
+    tail_pmax: Optional[int] = None,
 ) -> SparseIndex:
-    """Host wrapper: pad COO to static shapes, run the jitted build, and
-    derive the static tail gather width.
+    """Host wrapper: pad COO to static shapes, run the jitted build, derive
+    the static tail gather width.
 
     Inputs are the COO arrays from ``tdr.text.encode_docs`` (one entry per
-    unique (doc, term) pair).
+    unique (doc, term) pair).  The ``idf``/``head_slot``/``avgdl`` overrides
+    let ``tdr.parallel`` build document shards against corpus-global stats.
     """
     n_docs = int(doc_lens.shape[0])
-    n_docs_pad = max(_round_up(max(n_docs, 1), index_cfg.doc_pad_multiple), index_cfg.doc_pad_multiple)
+    if n_docs_pad is None:
+        n_docs_pad = max(_round_up(max(n_docs, 1), index_cfg.doc_pad_multiple),
+                         index_cfg.doc_pad_multiple)
     nnz = int(doc_ids.shape[0])
-    nnz_pad = max(_round_up(max(nnz, 1), index_cfg.nnz_pad_multiple), index_cfg.nnz_pad_multiple)
+    if nnz_pad is None:
+        nnz_pad = max(_round_up(max(nnz, 1), index_cfg.nnz_pad_multiple),
+                      index_cfg.nnz_pad_multiple)
 
-    di = np.zeros(nnz_pad, np.int32)
-    ti = np.full(nnz_pad, vocab_size, np.int32)   # sentinel pads sort last
-    tv = np.zeros(nnz_pad, np.float32)
-    di[:nnz] = doc_ids
-    ti[:nnz] = term_ids
-    tv[:nnz] = tfs
+    di, ti, tv = _pad_coo(doc_ids, term_ids, tfs, vocab_size, nnz_pad)
     dl = np.zeros(n_docs_pad, np.float32)
     dl[:n_docs] = doc_lens
 
+    # global statistics (computed locally unless injected by a sharded build)
+    if idf is None or head_slot is None:
+        df_g = segment_df(jnp.asarray(ti), vocab_size)
+        if idf is None:
+            idf = compute_idf(df_g, n_docs, bm25.idf_variant)
+        if head_slot is None:
+            if head_size is None:
+                if index_cfg.head_min_df > 0:
+                    head_size = int(jnp.sum(df_g >= index_cfg.head_min_df))
+                else:
+                    head_size = _auto_head_size(vocab_size, n_docs_pad, index_cfg)
+            head_size = min(head_size, vocab_size)
+            head_slot = select_head(df_g, head_size)
     if head_size is None:
-        if index_cfg.head_min_df > 0:
-            head_size = int((np.bincount(term_ids, minlength=vocab_size) >= index_cfg.head_min_df).sum()) if nnz else 0
-        else:
-            head_size = _auto_head_size(vocab_size, n_docs_pad, index_cfg)
-    head_size = min(head_size, vocab_size)
+        head_size = int(jnp.max(head_slot)) + 1 if vocab_size else 0
+    if avgdl is None:
+        avgdl = float(doc_lens.sum() / max(n_docs, 1))
 
-    (indptr, postings_doc, postings_w, postings_tf, head_slot, head_rows,
-     stats, tail_df_max) = _build_core(
+    (indptr, postings_doc, postings_w, postings_tf, head_rows, df_local,
+     tail_df_max) = _build_core(
         jnp.asarray(di), jnp.asarray(ti), jnp.asarray(tv), jnp.asarray(dl),
-        vocab_size=vocab_size, n_docs=n_docs, n_docs_pad=n_docs_pad,
-        head_size=head_size, idf_variant=bm25.idf_variant, k1=bm25.k1,
+        jnp.asarray(idf, dtype=jnp.float32), jnp.asarray(head_slot),
+        jnp.asarray(avgdl, dtype=jnp.float32),
+        vocab_size=vocab_size, n_docs_pad=n_docs_pad,
+        head_size=head_size, k1=bm25.k1,
         b=bm25.b, dl_scaled_by_b=bm25.dl_scaled_by_b, weight_kind=weight_kind,
     )
 
-    tail_pmax = int(np.asarray(tail_df_max))
-    # static gather width: multiple of 128 lanes, at least 8
-    tail_pmax = max(8, _round_up(max(tail_pmax, 1), 128)) if tail_pmax > 0 else 8
+    if tail_pmax is None:
+        tail_pmax = int(np.asarray(tail_df_max))
+        # static gather width: multiple of 128 lanes, at least 8
+        tail_pmax = max(8, _round_up(max(tail_pmax, 1), 128)) if tail_pmax > 0 else 8
 
+    stats = IndexStats(df=df_local, idf=jnp.asarray(idf, dtype=jnp.float32),
+                       doc_len=jnp.asarray(dl),
+                       avgdl=jnp.asarray(avgdl, dtype=jnp.float32))
     return SparseIndex(
         indptr=indptr,
         postings_doc=postings_doc,
         postings_w=postings_w,
         postings_tf=postings_tf,
-        head_slot=head_slot,
+        head_slot=jnp.asarray(head_slot),
         head_rows=head_rows,
         stats=stats,
         n_docs=n_docs,

@@ -48,12 +48,20 @@ class SparseModel:
     # -- scoring -------------------------------------------------------------
 
     def topk_tokens(
-        self, token_lists: Sequence[Sequence[str]], k: int = 10
+        self, token_lists: Sequence[Sequence[str]], k: int = 10,
+        pad_to: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(scores (Q,k), local doc rows (Q,k)) for tokenized queries."""
+        """(scores (Q,k), local doc rows (Q,k)) for tokenized queries.
+
+        ``pad_to`` pads the query axis to a fixed batch size so jit
+        specializes on one shape (ragged final chunks would otherwise
+        trigger a recompile per distinct batch size)."""
+        n = len(token_lists)
+        if pad_to is not None and n < pad_to:
+            token_lists = list(token_lists) + [[]] * (pad_to - n)
         qids, qw = self.encode_query_tokens(token_lists)
         vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
-        return np.asarray(vals), np.asarray(rows)
+        return np.asarray(vals)[:n], np.asarray(rows)[:n]
 
     def retrieve_tokens(
         self, token_lists: Sequence[Sequence[str]], k: int = 10

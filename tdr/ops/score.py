@@ -42,7 +42,10 @@ def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.
         gathered = rows_t[s_t]                         # (Q, N_pad)
         return scores + w_t[:, None] * gathered.astype(jnp.float32), None
 
-    init = jnp.zeros((Q, index.n_docs_pad), jnp.float32)
+    # seed the carry from the rows tensor so its varying-axis type matches
+    # inside shard_map (a fresh zeros literal would be device-invariant and
+    # fail scan's carry typing); the 0-mul folds away in XLA
+    init = jnp.zeros((Q, index.n_docs_pad), jnp.float32) + 0.0 * rows_t[0][None, :]
     scores, _ = jax.lax.scan(step, init, (slot_c.T, w_eff.T))
     return scores
 
@@ -71,14 +74,23 @@ def _tail_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
     return scores.at[q_idx.reshape(-1), docs.reshape(-1)].add(vals.reshape(-1))
 
 
+def score_batch_raw(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.ndarray:
+    """Unmasked score matrix (Q, N_pad) — padding docs score 0."""
+    qids = jnp.clip(qids, 0, index.vocab_size - 1)
+    scores = _head_scores(index, qids, qw)
+    return _tail_scores(index, qids, qw, scores)
+
+
+def mask_invalid_docs(scores: jnp.ndarray, n_valid) -> jnp.ndarray:
+    """-inf out doc columns >= n_valid (static int or traced scalar)."""
+    doc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    return jnp.where(doc_iota < n_valid, scores, NEG_INF)
+
+
 @jax.jit
 def score_batch(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.ndarray:
     """Full score matrix (Q, N_pad); docs >= n_docs score -inf."""
-    qids = jnp.clip(qids, 0, index.vocab_size - 1)
-    scores = _head_scores(index, qids, qw)
-    scores = _tail_scores(index, qids, qw, scores)
-    doc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, index.n_docs_pad), 1)
-    return jnp.where(doc_iota < index.n_docs, scores, NEG_INF)
+    return mask_invalid_docs(score_batch_raw(index, qids, qw), index.n_docs)
 
 
 def topk_masked(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,17 @@
+from tdr.parallel.mesh import make_mesh, data_sharding, replicated
+from tdr.parallel.sharded import (
+    ShardedSparseIndex,
+    build_sharded_index,
+    sharded_score_topk,
+    dp_score_topk,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "ShardedSparseIndex",
+    "build_sharded_index",
+    "sharded_score_topk",
+    "dp_score_topk",
+]

@@ -59,9 +59,13 @@ class CascadeRetriever:
                 sel = q_idx[s : s + self.query_batch]
                 chunk = toks[s : s + self.query_batch]
                 # stage 1: wide top-C candidates
+                n_chunk = len(chunk)
+                if n_chunk < self.query_batch:
+                    chunk = chunk + [[]] * (self.query_batch - n_chunk)
                 _, cand_rows = cand_m.topk_tokens(chunk, C)
                 # stage 2: exact re-score of candidates, final top-k
                 re_scores = rank_m.score_candidates_tokens(chunk, cand_rows)
+                cand_rows, re_scores = cand_rows[:n_chunk], re_scores[:n_chunk]
                 order = np.argsort(-re_scores, axis=1, kind="stable")[:, :k]
                 for j, (rows, o) in zip(sel, zip(cand_rows, order)):
                     results[j] = [rank_m.docids[rows[c]] for c in o]

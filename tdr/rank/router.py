@@ -81,12 +81,14 @@ class LanguageRouter:
             model = self.models[lang]
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
             # batch to bound device memory (final_implementation.ipynb:470-506
-            # batches 100/200; here a single configurable batch size)
+            # batches 100/200; here a single configurable batch size); every
+            # chunk is padded to query_batch so jit sees ONE query shape
             for s in range(0, len(q_idx), self.query_batch):
                 chunk = toks[s : s + self.query_batch]
-                ids = model.retrieve_tokens(chunk, k)
-                for j, out in zip(q_idx[s : s + self.query_batch], ids):
-                    results[j] = out
+                vals, rows = model.topk_tokens(chunk, k, pad_to=self.query_batch)
+                for j, (v, rr) in zip(q_idx[s : s + self.query_batch], zip(vals, rows)):
+                    results[j] = [model.docids[r] for r, vv in zip(rr, v)
+                                  if np.isfinite(vv)]
         return [r if r is not None else [] for r in results]
 
     def retrieve_with_scores(
@@ -99,7 +101,8 @@ class LanguageRouter:
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
             for s in range(0, len(q_idx), self.query_batch):
                 sel = q_idx[s : s + self.query_batch]
-                vals, rows = model.topk_tokens(toks[s : s + self.query_batch], k)
+                vals, rows = model.topk_tokens(toks[s : s + self.query_batch], k,
+                                               pad_to=self.query_batch)
                 for j, (v, rr) in zip(sel, zip(vals, rows)):
                     docid_out[j] = [model.docids[r] for r in rr]
                     score_out[j] = v

@@ -1,0 +1,101 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8).
+
+Property under test: doc-sharded scoring over the mesh is *equivalent* to
+single-device scoring of the same corpus (global idf/avgdl injection +
+all_gather top-k merge must not change results).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdr.data import synthetic_corpus, SyntheticSpec
+from tdr.index import build_index
+from tdr.ops import score_and_topk, score_batch
+from tdr.parallel import (
+    build_sharded_index,
+    dp_score_topk,
+    make_mesh,
+    sharded_score_topk,
+)
+from tdr.parallel.sharded import global_row_to_doc
+from tdr.text import build_vocab, encode_docs, encode_queries, preprocess_texts
+from tdr.utils.config import IndexConfig
+
+CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64, head_budget_bytes=1 << 20)
+
+
+@pytest.fixture(scope="module")
+def world():
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=300, n_queries=24, seed=17, ref_proportions=False,
+                      langs=("en",))
+    )
+    toks = preprocess_texts(corpus.texts, corpus.langs)
+    vocab = build_vocab(toks)
+    coo = encode_docs(toks, vocab)
+    qtoks = preprocess_texts(queries.queries, queries.langs)
+    qids, qw = encode_queries(qtoks, vocab, max_terms=16)
+    return vocab, coo, jnp.asarray(qids), jnp.asarray(qw)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_matches_single_device(world, n_shards):
+    vocab, coo, qids, qw = world
+    single = build_index(*coo, vocab.size, index_cfg=CFG)
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=n_shards,
+                                  index_cfg=CFG)
+    mesh = make_mesh(data=n_shards)
+
+    vals_1, rows_1 = score_and_topk(single, qids, qw, top_k=10)
+    vals_s, rows_s = sharded_score_topk(mesh, sharded, qids, qw, top_k=10)
+    docs_s = global_row_to_doc(sharded, np.asarray(rows_s))
+
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_1),
+                               rtol=1e-4, atol=1e-5)
+    # same docs wherever scores are not tied with the next rank
+    v1 = np.asarray(vals_1)
+    for q in range(v1.shape[0]):
+        strict = np.ones(10, bool)
+        strict[:-1] &= v1[q, :-1] > v1[q, 1:] + 1e-6
+        strict[1:] &= v1[q, 1:] < v1[q, :-1] - 1e-6
+        np.testing.assert_array_equal(docs_s[q][strict], np.asarray(rows_1)[q][strict])
+
+
+def test_sharded_global_idf_injected(world):
+    """Shard-local df must NOT drive idf: a 4-shard index carries the same
+    idf table as the single-device build."""
+    vocab, coo, _, _ = world
+    single = build_index(*coo, vocab.size, index_cfg=CFG)
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=4, index_cfg=CFG)
+    np.testing.assert_allclose(np.asarray(sharded.idf),
+                               np.asarray(single.stats.idf), rtol=1e-6)
+    assert float(sharded.avgdl) == pytest.approx(float(single.stats.avgdl), rel=1e-6)
+
+
+def test_dp_query_sharding_matches(world):
+    vocab, coo, qids, qw = world
+    index = build_index(*coo, vocab.size, index_cfg=CFG)
+    mesh = make_mesh(data=8)
+    vals_1, rows_1 = score_and_topk(index, qids, qw, top_k=10)
+    vals_dp, rows_dp = dp_score_topk(mesh, index, qids, qw, top_k=10)
+    np.testing.assert_allclose(np.asarray(vals_dp), np.asarray(vals_1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rows_dp), np.asarray(rows_1))
+
+
+def test_sharded_determinism(world):
+    vocab, coo, qids, qw = world
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=4, index_cfg=CFG)
+    mesh = make_mesh(data=4)
+    v1, r1 = sharded_score_topk(mesh, sharded, qids, qw, top_k=10)
+    v2, r2 = sharded_score_topk(mesh, sharded, qids, qw, top_k=10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
