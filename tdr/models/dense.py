@@ -1,0 +1,238 @@
+"""Dense-embedding retrieval: brute-force and IVF ANN search on TPU.
+
+Replaces the reference's FAISS path (SURVEY.md §2b): TF-IDF→SVD→
+`IndexFlatIP`/`IndexFlatL2` (faiss_based_ANN_Implementation.py:269-289) and
+BERT-embedding search (corpus_processing_and_embedding.py:197-247) become:
+
+* **brute-force**: doc-embedding matrix (N_pad, D) resident in HBM; search =
+  one (Q, D) x (D, N) matmul on the MXU fused with `lax.top_k` — exact, and
+  at this corpus scale usually faster than any ANN on TPU.
+* **IVF**: k-means centroids (trained on device); search probes the
+  ``nprobe`` nearest clusters via a dense gather of cluster-bucketed
+  embeddings.  Buckets are padded to the max cluster size (static shapes).
+
+Both operate on L2-normalized embeddings, so inner product == cosine
+(`faiss.normalize_L2` + IndexFlatIP semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdr.models.encoder import DualEncoder, encode
+from tdr.text.hash_tokenizer import encode_batch
+from tdr.utils.config import DenseConfig
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# Brute-force flat index
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FlatIndex:
+    """Exact inner-product search (IndexFlatIP equivalent)."""
+
+    embeddings: jnp.ndarray       # (N_pad, D) float32/bf16, L2-normalized
+    n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10):
+    """(Q, D) queries → (vals, rows): one MXU matmul + top_k."""
+    scores = jnp.dot(
+        q.astype(jnp.bfloat16), index.embeddings.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    doc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    scores = jnp.where(doc_iota < index.n_docs, scores, NEG_INF)
+    k = min(top_k, scores.shape[1])
+    vals, rows = jax.lax.top_k(scores, k)
+    if k < top_k:
+        vals = jnp.pad(vals, ((0, 0), (0, top_k - k)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, top_k - k)))
+    return vals, rows
+
+
+def build_flat_index(embeddings: np.ndarray, pad_multiple: int = 128) -> FlatIndex:
+    n, d = embeddings.shape
+    n_pad = max(_round_up(max(n, 1), pad_multiple), pad_multiple)
+    e = np.zeros((n_pad, d), np.float32)
+    e[:n] = embeddings
+    return FlatIndex(embeddings=jnp.asarray(e), n_docs=n)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) partitioned index
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class IvfIndex:
+    """k-means partitioned ANN index (IndexIVFFlat equivalent)."""
+
+    centroids: jnp.ndarray        # (nlist, D)
+    buckets: jnp.ndarray          # (nlist, bucket_pad, D) embeddings by cluster
+    bucket_rows: jnp.ndarray      # (nlist, bucket_pad) int32 original rows
+    bucket_counts: jnp.ndarray    # (nlist,) int32
+    n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
+    nlist: int = dataclasses.field(metadata=dict(static=True), default=0)
+    bucket_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+@partial(jax.jit, static_argnames=("nlist", "iters"))
+def _kmeans(emb: jnp.ndarray, key: jnp.ndarray, nlist: int, iters: int = 10):
+    """Spherical k-means on device: assignments by max inner product."""
+    n = emb.shape[0]
+    init_idx = jax.random.choice(key, n, (nlist,), replace=False)
+    cent = emb[init_idx]
+
+    def step(cent, _):
+        sim = emb @ cent.T                                    # (N, nlist)
+        assign = jnp.argmax(sim, axis=1)
+        one_hot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
+        sums = one_hot.T @ emb                                # (nlist, D)
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        new_cent = jnp.where(norms > 1e-6, sums / jnp.maximum(norms, 1e-6), cent)
+        return new_cent, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    sim = emb @ cent.T
+    return cent, jnp.argmax(sim, axis=1)
+
+
+def build_ivf_index(
+    embeddings: np.ndarray, nlist: int = 64, iters: int = 10, seed: int = 0
+) -> IvfIndex:
+    n, d = embeddings.shape
+    nlist = min(nlist, max(n, 1))
+    emb_j = jnp.asarray(embeddings, jnp.float32)
+    cent, assign = _kmeans(emb_j, jax.random.PRNGKey(seed), nlist, iters)
+    assign = np.asarray(assign)
+
+    counts = np.bincount(assign, minlength=nlist)
+    bucket_pad = max(8, _round_up(int(counts.max()) if n else 1, 8))
+    buckets = np.zeros((nlist, bucket_pad, d), np.float32)
+    rows = np.zeros((nlist, bucket_pad), np.int32)
+    fill = np.zeros(nlist, np.int64)
+    for i, c in enumerate(assign):
+        buckets[c, fill[c]] = embeddings[i]
+        rows[c, fill[c]] = i
+        fill[c] += 1
+    return IvfIndex(
+        centroids=cent,
+        buckets=jnp.asarray(buckets),
+        bucket_rows=jnp.asarray(rows),
+        bucket_counts=jnp.asarray(counts.astype(np.int32)),
+        n_docs=n, nlist=nlist, bucket_pad=bucket_pad,
+    )
+
+
+@partial(jax.jit, static_argnames=("top_k", "nprobe"))
+def ivf_search(index: IvfIndex, q: jnp.ndarray, top_k: int = 10, nprobe: int = 8):
+    """Probe the nprobe nearest clusters per query; exact search inside."""
+    Q = q.shape[0]
+    nprobe = min(nprobe, index.nlist)
+    c_sim = q @ index.centroids.T                             # (Q, nlist)
+    _, probe = jax.lax.top_k(c_sim, nprobe)                   # (Q, nprobe)
+
+    cand_emb = index.buckets[probe]                           # (Q, np, Bp, D)
+    cand_rows = index.bucket_rows[probe]                      # (Q, np, Bp)
+    cand_cnt = index.bucket_counts[probe]                     # (Q, np)
+
+    scores = jnp.einsum("qd,qpbd->qpb", q, cand_emb)          # (Q, np, Bp)
+    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    scores = jnp.where(slot < cand_cnt[..., None], scores, NEG_INF)
+
+    flat_scores = scores.reshape(Q, -1)
+    flat_rows = cand_rows.reshape(Q, -1)
+    k = min(top_k, flat_scores.shape[1])
+    vals, sel = jax.lax.top_k(flat_scores, k)
+    rows = jnp.take_along_axis(flat_rows, sel, axis=1)
+    if k < top_k:
+        vals = jnp.pad(vals, ((0, 0), (0, top_k - k)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, top_k - k)))
+    return vals, rows
+
+
+# --------------------------------------------------------------------------
+# Dense retrieval model (encoder + index + docids)
+# --------------------------------------------------------------------------
+
+@dataclass
+class DenseModel:
+    """Encoder + corpus embedding index, mirroring the reference's
+    embed-then-FAISS pipeline as one object."""
+
+    model: DualEncoder
+    params: object
+    cfg: DenseConfig
+    docids: List[str]
+    flat: Optional[FlatIndex] = None
+    ivf: Optional[IvfIndex] = None
+
+    @classmethod
+    def build(
+        cls, model: DualEncoder, params, cfg: DenseConfig,
+        texts: Sequence[str], docids: Sequence[str],
+        batch: int = 256, with_ivf: bool = False,
+    ) -> "DenseModel":
+        embs = []
+        for s in range(0, len(texts), batch):
+            chunk = list(texts[s:s + batch])
+            n = len(chunk)
+            if n < batch:
+                chunk += [""] * (batch - n)
+            ids, mask = encode_batch(chunk, cfg.vocab_size, cfg.max_len)
+            e = encode(model, params, jnp.asarray(ids), jnp.asarray(mask))
+            embs.append(np.asarray(e)[:n])
+        emb = np.concatenate(embs, axis=0) if embs else np.zeros((0, cfg.dim), np.float32)
+        out = cls(model=model, params=params, cfg=cfg, docids=list(docids),
+                  flat=build_flat_index(emb))
+        if with_ivf:
+            out.ivf = build_ivf_index(emb, nlist=cfg.ivf_nlist)
+        return out
+
+    def encode_queries(self, texts: Sequence[str], batch: int = 256) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.cfg.dim), np.float32)
+        embs = []
+        for s in range(0, len(texts), batch):
+            chunk = list(texts[s:s + batch])
+            n = len(chunk)
+            if n < batch:
+                chunk += [""] * (batch - n)
+            ids, mask = encode_batch(chunk, self.cfg.vocab_size, self.cfg.max_len)
+            e = encode(self.model, self.params, jnp.asarray(ids), jnp.asarray(mask))
+            embs.append(np.asarray(e)[:n])
+        return np.concatenate(embs, axis=0)
+
+    def retrieve(
+        self, queries: Sequence[str], k: int = 10, use_ivf: bool = False,
+        nprobe: Optional[int] = None,
+    ) -> List[List[str]]:
+        q = jnp.asarray(self.encode_queries(queries))
+        if use_ivf:
+            assert self.ivf is not None, "build with with_ivf=True first"
+            vals, rows = ivf_search(self.ivf, q, top_k=k,
+                                    nprobe=nprobe or self.cfg.ivf_nprobe)
+        else:
+            vals, rows = flat_search(self.flat, q, top_k=k)
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        return [
+            [self.docids[r] for r, v in zip(qr, qv) if np.isfinite(v)]
+            for qr, qv in zip(rows, vals)
+        ]

@@ -1,0 +1,207 @@
+"""Contrastive dual-encoder training with DP x TP mesh sharding.
+
+The reference ships training *data* — train.csv rows carry
+(query, positive_docs, negative_docs) (SURVEY.md §0) — but never trains its
+dense encoder (it runs a frozen HF model; its only from-scratch learner is a
+logistic-regression ranker, text_preprocessing_and_tfidf.py:112-144).  This
+module supplies the missing subsystem: InfoNCE training of the dense
+retriever with in-batch negatives plus the CSV's explicit hard negatives.
+
+Parallelism: one `jit`-compiled train step whose inputs carry
+`NamedSharding`s — batch over the mesh "data" axis (DP), parameters laid
+out by their `nn.with_partitioning` metadata over "model" (TP).  XLA
+inserts the psum/all-reduce collectives (scaling-book recipe: annotate,
+let XLA place collectives over ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tdr.models.encoder import DualEncoder, init_encoder
+from tdr.utils.config import DenseConfig
+from tdr.utils.trace import log
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    cfg: DenseConfig, lr: float = 3e-4, weight_decay: float = 0.01, seed: int = 0
+) -> Tuple[DualEncoder, TrainState, optax.GradientTransformation]:
+    model, params = init_encoder(cfg, seed)
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def contrastive_loss(
+    q_emb: jnp.ndarray,          # (B, D) normalized
+    p_emb: jnp.ndarray,          # (B, D) normalized positives
+    n_emb: Optional[jnp.ndarray] = None,   # (B, Nn, D) explicit negatives
+    temperature: float = 0.05,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """InfoNCE with in-batch negatives (+ optional hard negatives)."""
+    B = q_emb.shape[0]
+    logits = q_emb @ p_emb.T                                  # (B, B)
+    if n_emb is not None:
+        neg = jnp.einsum("bd,bnd->bn", q_emb, n_emb)          # (B, Nn)
+        logits = jnp.concatenate([logits, neg], axis=1)
+    logits = logits / temperature
+    labels = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    acc = (jnp.argmax(logits, axis=1) == labels).mean()
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def make_train_step(
+    model: DualEncoder,
+    tx: optax.GradientTransformation,
+    temperature: float = 0.05,
+) -> Callable:
+    """Build the jitted train step.  Donates the state for in-place updates."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            q = model.apply({"params": params}, batch["q_ids"], batch["q_mask"])
+            p = model.apply({"params": params}, batch["p_ids"], batch["p_mask"])
+            n = None
+            if "n_ids" in batch:
+                B, Nn, L = batch["n_ids"].shape
+                flat = model.apply(
+                    {"params": params},
+                    batch["n_ids"].reshape(B * Nn, L),
+                    batch["n_mask"].reshape(B * Nn, L),
+                )
+                n = flat.reshape(B, Nn, -1)
+            return contrastive_loss(q, p, n, temperature)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+# -- sharding ---------------------------------------------------------------
+
+def param_shardings(mesh: Mesh, params) -> Any:
+    """NamedShardings from the params' nn.with_partitioning metadata."""
+    specs = nn.get_partition_spec(params)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Lay out params/opt_state over the mesh per their partitioning."""
+    p_sh = param_shardings(mesh, state.params)
+    params = jax.device_put(state.params, p_sh)
+
+    def put_opt(x):
+        # moments mirror the param tree; scalars replicate
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    # optax state: tree-map leaves; param-shaped leaves get param shardings
+    flat_p, treedef_p = jax.tree_util.tree_flatten(params)
+
+    def match_opt(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    opt_state = jax.tree.map(match_opt, state.opt_state)
+    return TrainState(params, opt_state, jax.device_put(state.step, NamedSharding(mesh, P())))
+
+
+def batch_shardings(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, NamedSharding]:
+    return {
+        k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+        for k, v in batch.items()
+    }
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    sh = batch_shardings(mesh, batch)
+    return {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in batch.items()}
+
+
+# -- data pipeline ----------------------------------------------------------
+
+def make_batches(
+    queries, corpus_texts_by_id: Dict[str, str], cfg: DenseConfig,
+    batch_size: int, n_neg: int = 2, seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield hashed-encoded (query, positive, negatives) batches from a
+    QuerySet with positive_docs / negative_docs (train.csv schema)."""
+    from tdr.text.hash_tokenizer import encode_batch
+
+    rng = np.random.RandomState(seed)
+    idx = [i for i, p in enumerate(queries.positive_docs or [])
+           if p in corpus_texts_by_id]
+    rng.shuffle(idx)
+    all_ids = list(corpus_texts_by_id)
+    for s in range(0, len(idx) - batch_size + 1, batch_size):
+        sel = idx[s:s + batch_size]
+        q_texts = [queries.queries[i] for i in sel]
+        p_texts = [corpus_texts_by_id[queries.positive_docs[i]] for i in sel]
+        n_texts = []
+        for i in sel:
+            negs = list(queries.negative_docs[i]) if queries.negative_docs else []
+            negs = [n for n in negs if n in corpus_texts_by_id][:n_neg]
+            while len(negs) < n_neg:
+                negs.append(all_ids[rng.randint(len(all_ids))])
+            n_texts.extend(corpus_texts_by_id[n] for n in negs)
+        q_ids, q_mask = encode_batch(q_texts, cfg.vocab_size, cfg.max_len)
+        p_ids, p_mask = encode_batch(p_texts, cfg.vocab_size, cfg.max_len)
+        n_ids, n_mask = encode_batch(n_texts, cfg.vocab_size, cfg.max_len)
+        B = len(sel)
+        yield {
+            "q_ids": q_ids, "q_mask": q_mask,
+            "p_ids": p_ids, "p_mask": p_mask,
+            "n_ids": n_ids.reshape(B, n_neg, -1),
+            "n_mask": n_mask.reshape(B, n_neg, -1),
+        }
+
+
+def train_dense_retriever(
+    corpus, train_queries, cfg: DenseConfig,
+    mesh: Optional[Mesh] = None,
+    epochs: int = 1, batch_size: int = 32, n_neg: int = 2,
+    lr: float = 3e-4, seed: int = 0,
+) -> Tuple[DualEncoder, TrainState, Dict[str, float]]:
+    """Full training loop (host data pipeline + device steps)."""
+    model, state, tx = create_train_state(cfg, lr=lr, seed=seed)
+    step_fn = make_train_step(model, tx)
+    if mesh is not None:
+        state = shard_train_state(mesh, state)
+    by_id = dict(zip(corpus.docids, corpus.texts))
+    last: Dict[str, float] = {}
+    for ep in range(epochs):
+        for batch in make_batches(train_queries, by_id, cfg, batch_size, n_neg,
+                                  seed=seed + ep):
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, batch)
+        last = {k: float(v) for k, v in metrics.items()}
+        log.info("epoch %d: %s", ep, last)
+    return model, state, last

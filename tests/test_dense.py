@@ -1,0 +1,151 @@
+"""Dense path tests: encoder, contrastive training, flat + IVF search."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdr.data import synthetic_corpus, SyntheticSpec
+from tdr.eval import recall_at_k
+from tdr.models.dense import (
+    DenseModel,
+    build_flat_index,
+    build_ivf_index,
+    flat_search,
+    ivf_search,
+)
+from tdr.models.encoder import encode, init_encoder
+from tdr.text.hash_tokenizer import encode_batch, encode_text, PAD_ID
+from tdr.train import create_train_state, make_train_step, train_dense_retriever
+from tdr.utils.config import DenseConfig
+
+TINY = DenseConfig(vocab_size=2000, dim=64, depth=2, heads=4, max_len=32,
+                   ivf_nlist=8, ivf_nprobe=3)
+
+
+class TestHashTokenizer:
+    def test_deterministic_and_bounded(self):
+        a = encode_text("Hello wörld 한국어", 2000, 32)
+        b = encode_text("Hello wörld 한국어", 2000, 32)
+        assert a == b
+        assert all(0 <= t < 2000 for t in a)
+
+    def test_batch_padding(self):
+        ids, mask = encode_batch(["one two", ""], 2000, 8)
+        assert ids.shape == (2, 8)
+        assert mask[0].sum() >= 3  # CLS + 2 words
+        assert mask[1].sum() == 1  # CLS only
+        assert ids[0, int(mask[0].sum()):].tolist() == [PAD_ID] * (8 - int(mask[0].sum()))
+
+
+class TestEncoder:
+    def test_normalized_output(self):
+        model, params = init_encoder(TINY)
+        ids, mask = encode_batch(["hello world", "bonjour le monde"], TINY.vocab_size, TINY.max_len)
+        emb = encode(model, params, jnp.asarray(ids), jnp.asarray(mask))
+        assert emb.shape == (2, TINY.dim)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                                   rtol=1e-4)
+
+    def test_mask_invariance(self):
+        """Padding tokens must not affect the embedding."""
+        model, params = init_encoder(TINY)
+        ids, mask = encode_batch(["hello world"], TINY.vocab_size, TINY.max_len)
+        ids2 = ids.copy()
+        ids2[0, int(mask[0].sum()):] = 7   # garbage in padding positions
+        e1 = encode(model, params, jnp.asarray(ids), jnp.asarray(mask))
+        e2 = encode(model, params, jnp.asarray(ids2), jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-2)
+
+
+class TestFlatSearch:
+    def test_exact_topk(self):
+        rng = np.random.RandomState(0)
+        emb = rng.randn(100, 16).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        index = build_flat_index(emb, pad_multiple=32)
+        q = emb[[3, 50, 99]]
+        vals, rows = flat_search(index, jnp.asarray(q), top_k=5)
+        # self-similarity must rank first
+        assert np.asarray(rows)[:, 0].tolist() == [3, 50, 99]
+        expect = (q @ emb.T)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(vals)[i], np.sort(expect[i])[::-1][:5], atol=2e-2)
+
+    def test_padding_masked(self):
+        emb = np.eye(10, 16, dtype=np.float32)
+        index = build_flat_index(emb, pad_multiple=128)
+        vals, rows = flat_search(index, jnp.asarray(emb[:2]), top_k=10)
+        assert np.asarray(rows).max() < 10
+
+
+class TestIvfSearch:
+    def test_full_probe_equals_flat(self):
+        """nprobe == nlist must reproduce exact search."""
+        rng = np.random.RandomState(1)
+        emb = rng.randn(200, 16).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        flat = build_flat_index(emb)
+        ivf = build_ivf_index(emb, nlist=8, seed=0)
+        q = jnp.asarray(emb[:5])
+        v_f, r_f = flat_search(flat, q, top_k=5)
+        v_i, r_i = ivf_search(ivf, q, top_k=5, nprobe=8)
+        np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_f), atol=2e-2)
+        assert np.asarray(r_i)[:, 0].tolist() == np.asarray(r_f)[:, 0].tolist()
+
+    def test_partial_probe_recall(self):
+        """nprobe < nlist: self-retrieval must still succeed (query's own
+        cluster is always its nearest centroid)."""
+        rng = np.random.RandomState(2)
+        emb = rng.randn(300, 16).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        ivf = build_ivf_index(emb, nlist=16, seed=0)
+        q = jnp.asarray(emb[:20])
+        _, rows = ivf_search(ivf, q, top_k=1, nprobe=1)
+        assert (np.asarray(rows)[:, 0] == np.arange(20)).mean() >= 0.95
+
+
+class TestContrastiveTraining:
+    def test_loss_decreases_and_retrieval_improves(self):
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=120, n_queries=60, seed=3,
+                          ref_proportions=False, langs=("en",)))
+        # untrained baseline
+        model, state, tx = create_train_state(TINY, lr=1e-3)
+        untrained = DenseModel.build(model, state.params, TINY,
+                                     corpus.texts, corpus.docids, batch=64)
+        r0 = recall_at_k(untrained.retrieve(queries.queries, k=10),
+                         queries.positive_docs)
+
+        model, state, metrics = train_dense_retriever(
+            corpus, queries, TINY, epochs=8, batch_size=30, n_neg=1, lr=1e-3)
+        trained = DenseModel.build(model, state.params, TINY,
+                                   corpus.texts, corpus.docids, batch=64)
+        r1 = recall_at_k(trained.retrieve(queries.queries, k=10),
+                         queries.positive_docs)
+        assert metrics["accuracy"] >= 0.8, metrics
+        assert r1 > r0, (r0, r1)
+        assert r1 >= 0.8, (r0, r1)
+
+    def test_train_step_runs_sharded(self):
+        """DP x TP sharded train step on the 8-device CPU mesh."""
+        from tdr.parallel import make_mesh
+        from tdr.train import shard_train_state
+        from tdr.train.contrastive import shard_batch
+
+        mesh = make_mesh(data=4, model=2)
+        model, state, tx = create_train_state(TINY, lr=1e-3)
+        state = shard_train_state(mesh, state)
+        step_fn = make_train_step(model, tx)
+        B = 8
+        ids, mask = encode_batch(["sample text"] * B, TINY.vocab_size, TINY.max_len)
+        batch = {
+            "q_ids": ids, "q_mask": mask,
+            "p_ids": ids.copy(), "p_mask": mask.copy(),
+        }
+        batch = shard_batch(mesh, batch)
+        state2, metrics = step_fn(state, batch)
+        assert int(state2.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
