@@ -27,6 +27,9 @@ BASELINE_QPS = 2000.0 / 600.0   # reference: 2000 queries / 10-min budget
 
 
 def main() -> None:
+    from tdr.utils.jax_cache import enable as enable_jax_cache
+
+    enable_jax_cache()
     import jax
     import numpy as np
 

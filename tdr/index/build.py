@@ -306,6 +306,9 @@ def build_index(
         b=bm25.b, dl_scaled_by_b=bm25.dl_scaled_by_b, weight_kind=weight_kind,
     )
 
+    if index_cfg.head_dtype == "bfloat16":
+        head_rows = head_rows.astype(jnp.bfloat16)
+
     if tail_pmax is None:
         tail_pmax = int(np.asarray(tail_df_max))
         # static gather width: multiple of 128 lanes, at least 8

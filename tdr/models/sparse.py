@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tdr.index.build import SparseIndex, build_index, build_tfidf_index
-from tdr.ops.score import score_and_topk, score_batch, score_pairs
+from tdr.ops.score import (
+    score_and_topk,
+    score_and_topk_fused,
+    score_batch,
+    score_pairs,
+)
 from tdr.text.preprocess import Preprocessor
 from tdr.text.vocab import Vocab, build_vocab, encode_docs, encode_queries
 from tdr.utils.config import BM25Config, IndexConfig, RetrievalConfig
@@ -31,6 +36,8 @@ class SparseModel:
     lang: str = "en"
     max_query_terms: int = 64
     query_weight: str = "unit"        # "unit" (BM25) | "idf" (cosine)
+    tail_budget: int = 1024           # fused-topk tail compaction budget
+    use_fused_topk: bool = True       # sort-based exact top-k (no scatter)
 
     # -- query encoding ------------------------------------------------------
 
@@ -60,7 +67,11 @@ class SparseModel:
         if pad_to is not None and n < pad_to:
             token_lists = list(token_lists) + [[]] * (pad_to - n)
         qids, qw = self.encode_query_tokens(token_lists)
-        vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
+        if self.use_fused_topk:
+            vals, rows = score_and_topk_fused(self.index, qids, qw, top_k=k,
+                                              tail_budget=self.tail_budget)
+        else:
+            vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
         return np.asarray(vals)[:n], np.asarray(rows)[:n]
 
     def retrieve_tokens(

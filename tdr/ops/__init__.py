@@ -1,6 +1,7 @@
 from tdr.ops.score import (
     score_batch,
     score_and_topk,
+    score_and_topk_fused,
     score_pairs,
     topk_masked,
 )
@@ -8,6 +9,7 @@ from tdr.ops.score import (
 __all__ = [
     "score_batch",
     "score_and_topk",
+    "score_and_topk_fused",
     "score_pairs",
     "topk_masked",
 ]

@@ -116,6 +116,164 @@ def score_and_topk(
     return vals, idx
 
 
+def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
+                  budget: int, max_tail_terms: int = 16):
+    """Compact tail posting slots to a static ``budget`` per query.
+
+    Two compaction levels, both computed from the term table alone so no
+    posting memory is touched until the final (small) gather — on TPU the
+    sorts are cheap while random gathers cost ~8ns/element:
+
+    1. term level: queries rarely have more than a few tail (rare) terms —
+       sort the T term slots tail-first and keep ``max_tail_terms``;
+    2. slot level: sort the (MT·P) posting slots active-first and keep
+       ``budget``.
+
+    Returns (docs (Q,B), vals (Q,B), active (Q,B), overflow (Q,)); overflow
+    flags queries that exceeded either static cap (handled by the caller
+    with an exact-scatter fallback).
+    """
+    Q, T = qids.shape
+    P = index.tail_pmax
+    slot = index.head_slot[qids]
+    df = index.stats.df[qids].astype(jnp.int32)
+    start = index.indptr[qids]
+    is_tail = (slot < 0) & (qw > 0)
+
+    # --- level 1: keep at most MT tail terms (T-wide sort, trivial) -------
+    MT = min(max_tail_terms, T)
+    tkey = (~is_tail).astype(jnp.int32)
+    _, start_c, df_c, qw_c, tail_c = jax.lax.sort(
+        (tkey, start, df, qw, is_tail.astype(jnp.int32)), num_keys=1)
+    start_c, df_c, qw_c = start_c[:, :MT], df_c[:, :MT], qw_c[:, :MT]
+    tail_c = tail_c[:, :MT] > 0
+    overflow = jnp.sum(is_tail, axis=1) > MT
+
+    # --- level 2: keep at most ``budget`` posting slots -------------------
+    offs = jax.lax.broadcasted_iota(jnp.int32, (Q, MT, P), 2)
+    active = (offs < df_c[..., None]) & tail_c[..., None]      # (Q, MT, P)
+    pos = (start_c[..., None] + offs).reshape(Q, MT * P)
+    wq = jnp.broadcast_to(qw_c[..., None], (Q, MT, P)).reshape(Q, MT * P)
+    active = active.reshape(Q, MT * P)
+
+    B = min(budget, MT * P)
+    if B < MT * P:
+        overflow = overflow | (jnp.sum(active, axis=1) > B)
+        # pack (inactive flag, term index) into ONE int32 sort key so the
+        # sort carries just two operands; wq is reconstructed afterwards
+        # from the term index with a tiny one-hot contraction
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, MT, P), 1).reshape(Q, MT * P)
+        key = ((~active).astype(jnp.int32) << 6) | t_idx       # MT <= 64
+        key, pos = jax.lax.sort((key, pos), num_keys=1)
+        key, pos = key[:, :B], pos[:, :B]
+        active = (key >> 6) == 0
+        t_sel = key & 63
+        wq = jnp.einsum(
+            "qbm,qm->qb",
+            jax.nn.one_hot(t_sel, MT, dtype=jnp.float32), qw_c,
+        )
+
+    pos_safe = jnp.clip(pos, 0, index.postings_doc.shape[0] - 1)
+    # inactive slots get sentinel doc id n_docs_pad (one PAST the padded
+    # range) so they can never share a segment run with a real document
+    docs = jnp.where(active, index.postings_doc[pos_safe], index.n_docs_pad)
+    vals = jnp.where(active, index.postings_w[pos_safe] * wq, 0.0)
+    return docs, vals, active, overflow
+
+
+@partial(jax.jit, static_argnames=("top_k", "tail_budget"))
+def _fused_topk_core(
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
+    tail_budget: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    qids = jnp.clip(qids, 0, index.vocab_size - 1)
+    Q = qids.shape[0]
+
+    # 1) head scores + head-only top-k
+    head = _head_scores(index, qids, qw)                       # (Q, N_pad)
+    head = mask_invalid_docs(head, index.n_docs)
+    k = min(top_k, index.n_docs_pad)
+    hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
+
+    # 2) compacted tail slots → per-doc tail sums via sorted segment cumsum
+    docs, vals, act, overflow = _tail_compact(index, qids, qw, tail_budget)
+    B = docs.shape[1]
+    # pack the active flag into the value's sign (weights are >= 0) so the
+    # doc-sort carries two operands instead of three
+    d_s, v_s = jax.lax.sort((docs, jnp.where(act, vals, -1.0)), num_keys=1)
+    m_s = v_s >= 0
+    v_s = jnp.maximum(v_s, 0.0)
+
+    cs = jnp.cumsum(v_s, axis=1)
+    cs_excl = cs - v_s
+    is_first = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), d_s[:, 1:] != d_s[:, :-1]], axis=1)
+    is_last = jnp.concatenate(
+        [d_s[:, 1:] != d_s[:, :-1], jnp.ones((Q, 1), bool)], axis=1)
+    # run base propagated right via running max (weights are >= 0, so the
+    # exclusive cumsum at each run start is non-decreasing)
+    base = jax.lax.cummax(jnp.where(is_first, cs_excl, -jnp.inf), axis=1)
+    tail_sum = cs - base                                       # valid at is_last
+
+    # exact scores of tail-touched docs: head[q, d] + tail_sum
+    # (clamp the sentinel doc id for the gather only; its entries are
+    # masked out below since their slots are inactive)
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
+                * index.n_docs_pad
+                + jnp.minimum(d_s, index.n_docs_pad - 1))
+    head_at = jnp.take(head.reshape(-1), flat_idx.reshape(-1),
+                       unique_indices=False).reshape(Q, B)
+    touched_vals = jnp.where(is_last & m_s, head_at + tail_sum, NEG_INF)
+
+    # 3) merge + dedupe (exact: any true top-k doc's exact entry ranks
+    # <= 2k-1 in the merged list — at most k-1 better docs x 2 entries each)
+    all_vals = jnp.concatenate([hv, touched_vals], axis=1)     # (Q, k+B)
+    all_docs = jnp.concatenate([hi, d_s], axis=1)
+    k2 = min(2 * k, all_vals.shape[1])
+    mv, msel = jax.lax.top_k(all_vals, k2)
+    mdocs = jnp.take_along_axis(all_docs, msel, axis=1)
+    eq = mdocs[:, :, None] == mdocs[:, None, :]                # (Q, 2k, 2k)
+    earlier = jax.lax.broadcasted_iota(jnp.int32, (1, k2, k2), 2) < \
+        jax.lax.broadcasted_iota(jnp.int32, (1, k2, k2), 1)
+    dup = jnp.any(eq & earlier, axis=2)
+    sel_order = jnp.argsort(dup.astype(jnp.int32), axis=1, stable=True)[:, :k]
+    vals_out = jnp.take_along_axis(mv, sel_order, axis=1)
+    docs_out = jnp.take_along_axis(mdocs, sel_order, axis=1)
+    if k < top_k:
+        pad = top_k - k
+        vals_out = jnp.pad(vals_out, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        docs_out = jnp.pad(docs_out, ((0, 0), (0, pad)))
+    return vals_out, docs_out, overflow
+
+
+def score_and_topk_fused(
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10,
+    tail_budget: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k without the tail scatter (the scatter dominates
+    `score_and_topk` ~10x on TPU).
+
+    Decomposition:  score(d) = head(d) + tail(d), where tail(d) != 0 for at
+    most `tail_budget` docs per query (checked).  Head scores are dense VPU
+    row accumulates; tail postings are compacted to the budget with a ~free
+    TPU sort BEFORE any random gather, summed per doc with a sorted segment
+    cumsum, and merged with the head top-k via a top-2k + dedupe that is
+    provably exact (see _fused_topk_core).
+
+    Queries whose tail postings exceed the budget (rare: many rare terms in
+    one query) fall back to the exact scatter path.
+    """
+    import numpy as np
+
+    vals, docs, overflow = _fused_topk_core(index, qids, qw, top_k, tail_budget)
+    if bool(jnp.any(overflow)):
+        ov = np.asarray(overflow)
+        sv, sd = score_and_topk(index, qids, qw, top_k=top_k)
+        vals = jnp.where(jnp.asarray(ov)[:, None], sv, vals)
+        docs = jnp.where(jnp.asarray(ov)[:, None], sd, docs)
+    return vals, docs
+
+
 @jax.jit
 def score_pairs(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, cand: jnp.ndarray

@@ -60,6 +60,10 @@ class IndexConfig:
     # get dense bf16 score rows (MXU/VPU path); the long-tail stays CSR.
     head_min_df: int = 0          # 0 = auto from head_budget_bytes
     head_budget_bytes: int = 1 << 31   # 2 GiB of dense head rows per language
+    # dense head rows dtype: "bfloat16" halves HBM traffic of the dominant
+    # head-row gathers (CSR weights stay float32); use "float32" when
+    # bitwise score parity with the f64 formulas matters more than speed
+    head_dtype: str = "bfloat16"
     doc_pad_multiple: int = 128   # pad doc axis to lane multiples
     nnz_pad_multiple: int = 1024  # pad CSR nnz to static shapes
 

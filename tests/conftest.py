@@ -18,3 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+from tdr.utils.jax_cache import enable as _enable_jax_cache
+
+_enable_jax_cache()

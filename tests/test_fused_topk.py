@@ -1,0 +1,90 @@
+"""Exactness tests for the fused (sort-based, scatter-free) top-k path and
+the bfloat16 dense-head default."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tdr.text import build_vocab, encode_docs, encode_queries
+from tdr.index import build_index
+from tdr.ops import score_and_topk_fused, score_batch
+from tdr.utils.config import IndexConfig
+
+F32 = dict(doc_pad_multiple=8, nnz_pad_multiple=64, head_budget_bytes=1 << 18,
+           head_dtype="float32")
+
+
+def _random_world(rng, n_docs=400, vocab_n=600, n_queries=16, max_qlen=20):
+    docs = [[f"t{rng.randint(vocab_n)}" for _ in range(rng.randint(5, 150))]
+            for _ in range(n_docs)]
+    vocab = build_vocab(docs)
+    coo = encode_docs(docs, vocab)
+    queries = [[f"t{rng.randint(vocab_n)}" for _ in range(rng.randint(1, max_qlen))]
+               for _ in range(n_queries)]
+    qids, qw = encode_queries(queries, vocab, 24)
+    return vocab, coo, jnp.asarray(qids), jnp.asarray(qw)
+
+
+@pytest.mark.parametrize("head_size", [0, 16, None])
+@pytest.mark.parametrize("budget", [64, 1024])
+def test_fused_exact_vs_full_scores(head_size, budget):
+    rng = np.random.RandomState(7)
+    vocab, coo, qids, qw = _random_world(rng)
+    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32),
+                      head_size=head_size)
+    v, d = score_and_topk_fused(idx, qids, qw, top_k=10, tail_budget=budget)
+    v, d = np.asarray(v), np.asarray(d)
+    full = np.asarray(score_batch(idx, qids, qw))
+    for q in range(v.shape[0]):
+        np.testing.assert_allclose(v[q], np.sort(full[q])[::-1][:10],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(full[q][d[q]], v[q], rtol=1e-4, atol=1e-5)
+        assert len(set(d[q].tolist())) == 10
+
+
+def test_fused_exact_when_pad_equals_ndocs():
+    """Regression: sentinel doc id must not collide with the last REAL doc
+    when n_docs == n_docs_pad (found by the padded-sentinel segment bug)."""
+    rng = np.random.RandomState(3)
+    vocab, coo, qids, qw = _random_world(rng, n_docs=400)  # 400 % 8 == 0
+    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32),
+                      head_size=16)
+    assert idx.n_docs == idx.n_docs_pad
+    v, d = score_and_topk_fused(idx, qids, qw, top_k=10, tail_budget=1024)
+    full = np.asarray(score_batch(idx, qids, qw))
+    for q in range(np.asarray(v).shape[0]):
+        np.testing.assert_allclose(np.asarray(v)[q], np.sort(full[q])[::-1][:10],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_overflow_fallback_tiny_budget():
+    """Budgets far below the active posting count must still be exact via the
+    scatter fallback."""
+    rng = np.random.RandomState(11)
+    vocab, coo, qids, qw = _random_world(rng)
+    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32), head_size=0)
+    v, d = score_and_topk_fused(idx, qids, qw, top_k=10, tail_budget=16)
+    full = np.asarray(score_batch(idx, qids, qw))
+    for q in range(np.asarray(v).shape[0]):
+        np.testing.assert_allclose(np.asarray(v)[q], np.sort(full[q])[::-1][:10],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_head_preserves_ranking():
+    """The bfloat16 head default may perturb scores ~1e-2 relative but must
+    preserve top-k doc sets on clearly-separated data."""
+    rng = np.random.RandomState(5)
+    vocab, coo, qids, qw = _random_world(rng)
+    f32 = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32))
+    bf16 = build_index(*coo, vocab.size,
+                       index_cfg=IndexConfig(**{**F32, "head_dtype": "bfloat16"}))
+    v1, d1 = score_and_topk_fused(f32, qids, qw, top_k=10)
+    v2, d2 = score_and_topk_fused(bf16, qids, qw, top_k=10)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=2e-2, atol=1e-2)
+    # top-10 sets mostly identical (ordering may swap near-ties)
+    agree = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(d1), np.asarray(d2))
+    ])
+    assert agree >= 0.9, agree

@@ -33,7 +33,7 @@ def _build(docs=DOCS, head_size=None, **bm25_kw):
     vocab = build_vocab(docs)
     coo = encode_docs(docs, vocab)
     idx = build_index(*coo, vocab.size, bm25=BM25Config(**bm25_kw),
-                      index_cfg=IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=16),
+                      index_cfg=IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=16, head_dtype="float32"),
                       head_size=head_size)
     return vocab, idx
 
@@ -132,7 +132,7 @@ def test_tfidf_cosine_matches_reference():
     coo = encode_docs(DOCS, vocab)
     for head_size in (0, 3, None):
         idx = build_tfidf_index(*coo, vocab.size,
-                                index_cfg=IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=16),
+                                index_cfg=IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=16, head_dtype="float32"),
                                 head_size=head_size)
         ref = NaiveTfidfCosine(DOCS)
         qids, qw = encode_queries(QUERIES, vocab, max_terms=8)

@@ -25,7 +25,7 @@ from tdr.parallel.sharded import global_row_to_doc
 from tdr.text import build_vocab, encode_docs, encode_queries, preprocess_texts
 from tdr.utils.config import IndexConfig
 
-CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64, head_budget_bytes=1 << 20)
+CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64, head_budget_bytes=1 << 20, head_dtype="float32")
 
 
 @pytest.fixture(scope="module")
