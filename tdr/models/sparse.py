@@ -99,6 +99,17 @@ class BM25Model(SparseModel):
     """Okapi BM25 (the reference's winning engine, bm25_ranking.ipynb:166-213)."""
 
     @classmethod
+    def from_coo(
+        cls, vocab: Vocab, coo, docids: Sequence[str], lang: str = "en",
+        bm25: BM25Config = BM25Config(), index_cfg: IndexConfig = IndexConfig(),
+        max_query_terms: int = 64, head_size: Optional[int] = None,
+    ) -> "BM25Model":
+        index = build_index(*coo, vocab.size, bm25=bm25, index_cfg=index_cfg,
+                            weight_kind="bm25", head_size=head_size)
+        return cls(vocab=vocab, index=index, docids=list(docids), lang=lang,
+                   max_query_terms=max_query_terms, query_weight="unit")
+
+    @classmethod
     def build(
         cls,
         doc_token_lists: Sequence[Sequence[str]],
@@ -121,6 +132,17 @@ class BM25Model(SparseModel):
 class TfidfCosineModel(SparseModel):
     """TF-IDF + cosine similarity (cosine_similarity_bm25_reranking.py:72-126,
     198-238): L2-normalized tf·idf doc rows, idf-weighted query vector."""
+
+    @classmethod
+    def from_coo(
+        cls, vocab: Vocab, coo, docids: Sequence[str], lang: str = "en",
+        index_cfg: IndexConfig = IndexConfig(),
+        max_query_terms: int = 64, head_size: Optional[int] = None,
+    ) -> "TfidfCosineModel":
+        index = build_tfidf_index(*coo, vocab.size, index_cfg=index_cfg,
+                                  head_size=head_size)
+        return cls(vocab=vocab, index=index, docids=list(docids), lang=lang,
+                   max_query_terms=max_query_terms, query_weight="idf")
 
     @classmethod
     def build(

@@ -29,25 +29,47 @@ def build_language_models(
     max_query_terms: int = 64,
     head_size: Optional[int] = None,
     tracer: Optional[Tracer] = None,
+    use_native: bool = True,
 ) -> Dict[str, SparseModel]:
     """Partition corpus by language, preprocess, and build one model per
-    language (bm25_ranking.ipynb:262-313)."""
+    language (bm25_ranking.ipynb:262-313).
+
+    ``use_native=True`` routes corpus preprocessing through the C++
+    tokenizer + vectorized encoding (tdr.text.fast) when available and the
+    preprocessor is the default "best" pipeline; falls back to the Python
+    path otherwise.
+    """
     pp = preprocessor or Preprocessor("best")
     tracer = tracer or Tracer("build_language_models")
     by_lang: Dict[str, List[int]] = {}
     for i, lang in enumerate(corpus.langs):
         by_lang.setdefault(lang, []).append(i)
 
+    fast = False
+    if use_native and preprocessor is None:
+        from tdr.text.fast import fast_available
+
+        fast = fast_available()
+
     models: Dict[str, SparseModel] = {}
     for lang, rows in sorted(by_lang.items()):
         with tracer.span(f"build:{lang}", n_docs=len(rows)):
-            toks = [pp(corpus.texts[i], lang) for i in rows]
             docids = [corpus.docids[i] for i in rows]
             kwargs = dict(lang=lang, index_cfg=index_cfg,
                           max_query_terms=max_query_terms, head_size=head_size)
             if model_cls is BM25Model:
                 kwargs["bm25"] = bm25
-            models[lang] = model_cls.build(toks, docids, **kwargs)
+            if fast:
+                from tdr.text.fast import fast_encode_corpus
+
+                texts = [corpus.texts[i] for i in rows]
+                vocab, *coo = fast_encode_corpus(
+                    texts, [lang] * len(rows), min_df=index_cfg.min_df)
+                models[lang] = model_cls.from_coo(vocab, tuple(coo), docids,
+                                                  **kwargs)
+            else:
+                toks = [pp(corpus.texts[i], lang) for i in rows]
+                models[lang] = model_cls.build(toks, docids, **kwargs)
         log.info("built %s model for '%s': %d docs, vocab %d, head %d, tail_pmax %d",
                  model_cls.__name__, lang, len(rows),
                  models[lang].vocab.size, models[lang].index.head_size,

@@ -25,22 +25,52 @@ class Vocab:
     term_to_id: Dict[str, int]
     df: np.ndarray          # (V,) int32 document frequency per term id
     n_docs: int
+    # bigram terms stored as packed unigram-id pairs ((a << 32) | b) instead
+    # of materialized "a_b" strings — the fast corpus encoder defers string
+    # construction for the (potentially millions of) bigram vocabulary
+    # entries; queries resolve "a_b" forms through this table
+    pair_to_id: Optional[Dict[int, int]] = None
 
     @property
     def size(self) -> int:
-        return len(self.term_to_id)
+        return len(self.term_to_id) + (len(self.pair_to_id) if self.pair_to_id else 0)
+
+    def _encode_bigram(self, term: str) -> int:
+        # try each "_" split point; unigram terms may themselves contain "_"
+        for cut in range(len(term)):
+            if term[cut] != "_":
+                continue
+            a = self.term_to_id.get(term[:cut])
+            b = self.term_to_id.get(term[cut + 1:])
+            if a is not None and b is not None:
+                i = self.pair_to_id.get((a << 32) | b)
+                if i is not None:
+                    return i
+        return -1
 
     def encode_term(self, term: str) -> int:
-        return self.term_to_id.get(term, -1)
+        i = self.term_to_id.get(term)
+        if i is not None:
+            return i
+        if self.pair_to_id and "_" in term:
+            return self._encode_bigram(term)
+        return -1
 
     def encode(self, tokens: Sequence[str]) -> List[int]:
-        t2i = self.term_to_id
-        return [t2i[t] for t in tokens if t in t2i]
+        out = []
+        for t in tokens:
+            i = self.encode_term(t)
+            if i >= 0:
+                out.append(i)
+        return out
 
     def id_to_term(self) -> List[str]:
         out = [""] * self.size
         for t, i in self.term_to_id.items():
             out[i] = t
+        if self.pair_to_id:
+            for key, i in self.pair_to_id.items():
+                out[i] = f"{out[key >> 32]}_{out[key & 0xFFFFFFFF]}"
         return out
 
 

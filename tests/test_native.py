@@ -1,0 +1,111 @@
+"""Parity tests: C++ native tokenizer + fast encoding vs the Python pipeline."""
+
+import numpy as np
+import pytest
+
+from tdr.data import synthetic_corpus, SyntheticSpec
+from tdr.text import Preprocessor, build_vocab, encode_docs
+from tdr.text.fast import fast_available, fast_encode_corpus
+
+pytestmark = pytest.mark.skipif(not fast_available(),
+                                reason="native tokenizer unavailable")
+
+
+def _python_counts(texts, lang):
+    pp = Preprocessor("best")
+    toks = [pp(t, lang) for t in texts]
+    vocab = build_vocab(toks)
+    doc_ids, term_ids, tfs, doc_lens = encode_docs(toks, vocab)
+    id2t = vocab.id_to_term()
+    counts = {}
+    for d, t, f in zip(doc_ids, term_ids, tfs):
+        counts[(int(d), id2t[t])] = float(f)
+    return counts, doc_lens
+
+
+def _fast_counts(texts, lang):
+    vocab, doc_ids, term_ids, tfs, doc_lens = fast_encode_corpus(
+        texts, [lang] * len(texts))
+    id2t = vocab.id_to_term()
+    counts = {}
+    for d, t, f in zip(doc_ids, term_ids, tfs):
+        counts[(int(d), id2t[t])] = float(f)
+    return counts, doc_lens
+
+
+SENTENCES = {
+    "en": ["The cats are running in the gardens!",
+           "Physics, mathematics & COMPUTING: 42 qubits."],
+    "fr": ["Les grandes maisons bleues étaient magnifiques.",
+           "Un château très ancien, près de la rivière."],
+    "de": ["Die großen Häuser waren wunderschön gebaut.",
+           "Straße und Bäume im Winter."],
+    "es": ["Los niños pequeños corrían por el jardín.",
+           "La montaña más alta de España."],
+    "it": ["Le grandi case erano bellissime davvero.",
+           "Una città antica vicino al mare."],
+    "ar": ["الكتاب الجديد في المدرسة الكبيرة",
+           "أحب القراءة والكتابة كثيرا"],
+    "ko": ["학교에서 한국어를 공부합니다", "서울의 날씨가 좋습니다"],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(SENTENCES))
+def test_token_counts_match_python_pipeline(lang):
+    texts = SENTENCES[lang]
+    py_counts, py_lens = _python_counts(texts, lang)
+    fa_counts, fa_lens = _fast_counts(texts, lang)
+    assert fa_counts == py_counts, (
+        sorted(set(py_counts) - set(fa_counts))[:10],
+        sorted(set(fa_counts) - set(py_counts))[:10],
+    )
+    np.testing.assert_array_equal(fa_lens, py_lens)
+
+
+@pytest.mark.parametrize("lang", ["en", "fr", "ko", "ar"])
+def test_synthetic_corpus_parity(lang):
+    corpus, _ = synthetic_corpus(
+        SyntheticSpec(n_docs=80, n_queries=1, seed=13, ref_proportions=False,
+                      langs=(lang,)))
+    py_counts, py_lens = _python_counts(corpus.texts, lang)
+    fa_counts, fa_lens = _fast_counts(corpus.texts, lang)
+    assert fa_counts == py_counts
+    np.testing.assert_array_equal(fa_lens, py_lens)
+
+
+def test_min_df_pruning_matches():
+    corpus, _ = synthetic_corpus(
+        SyntheticSpec(n_docs=60, n_queries=1, seed=2, ref_proportions=False,
+                      langs=("en",)))
+    pp = Preprocessor("best")
+    toks = [pp(t, "en") for t in corpus.texts]
+    py_vocab = build_vocab(toks, min_df=3)
+    fa_vocab, *_ = fast_encode_corpus(corpus.texts, ["en"] * len(corpus),
+                                      min_df=3)
+    assert set(py_vocab.term_to_id) == set(fa_vocab.term_to_id)
+
+
+def test_end_to_end_retrieval_parity():
+    """Retrieval results via the native path must equal the Python path."""
+    from tdr.models import BM25Model
+    from tdr.rank import LanguageRouter, build_language_models
+    from tdr.utils.config import IndexConfig
+
+    cfg = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64,
+                      head_budget_bytes=1 << 20, head_dtype="float32")
+    corpus, queries = synthetic_corpus(SyntheticSpec(n_docs=250, n_queries=40, seed=21))
+    m_fast = build_language_models(corpus, BM25Model, index_cfg=cfg, use_native=True)
+    m_py = build_language_models(corpus, BM25Model, index_cfg=cfg, use_native=False)
+    r_fast = LanguageRouter(m_fast, query_batch=16).retrieve(
+        queries.queries, queries.langs, k=10)
+    r_py = LanguageRouter(m_py, query_batch=16).retrieve(
+        queries.queries, queries.langs, k=10)
+    agree = np.mean([a == b for a, b in zip(r_fast, r_py)])
+    assert agree == 1.0, agree
+
+
+def test_empty_and_garbage_inputs():
+    for texts in ([""], ["   "], ["!!!"], ["\x00\x01\x02"], []):
+        if texts:
+            vocab, d, t, f, dl = fast_encode_corpus(texts, ["en"] * len(texts))
+            assert dl.shape == (len(texts),)
