@@ -1,0 +1,17 @@
+from tdr.ckpt.registry import (
+    save_registry,
+    load_registry,
+    save_sparse_model,
+    load_sparse_model,
+    save_dense_model,
+    load_dense_model,
+)
+
+__all__ = [
+    "save_registry",
+    "load_registry",
+    "save_sparse_model",
+    "load_sparse_model",
+    "save_dense_model",
+    "load_dense_model",
+]

@@ -1,0 +1,220 @@
+"""LX persistence: manifest-based array checkpoints.
+
+Replaces the reference's pickle/joblib zoo — per-language model joblibs
+(bm25_ranking.ipynb:305-313), docid pickles, `save_npz` CSR files
+(cosine_similarity_bm25_reranking.py:113-118) and the sharded-pickle store
+with HARDCODED per-language shard counts + ThreadPoolExecutor reload
+(final_implementation.py:187-287) — with one layout:
+
+    <dir>/manifest.json                 versions, config echo, model list
+    <dir>/<lang>/arrays.npz             index arrays (bf16 stored as uint16)
+    <dir>/<lang>/vocab.txt[.pairs.npy]  term strings (+ packed bigram pairs)
+    <dir>/<lang>/docids.txt
+    <dir>/dense/params.npz              dense encoder parameters
+
+A manifest replaces hardcoded shard counts; every array is load-bearing and
+self-describing, so resume never depends on code constants (SURVEY.md §5
+"Checkpoint / resume").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdr.index.build import IndexStats, SparseIndex
+from tdr.models.sparse import BM25Model, SparseModel, TfidfCosineModel
+from tdr.text.vocab import Vocab
+
+FORMAT_VERSION = 1
+
+_MODEL_TYPES = {"BM25Model": BM25Model, "TfidfCosineModel": TfidfCosineModel}
+
+
+def _to_numpy_savable(x: jnp.ndarray) -> Tuple[np.ndarray, str]:
+    arr = np.asarray(x)
+    if arr.dtype == jnp.bfloat16:
+        return arr.view(np.uint16), "bfloat16"
+    return arr, str(arr.dtype)
+
+
+def _from_numpy_saved(arr: np.ndarray, dtype: str) -> jnp.ndarray:
+    if dtype == "bfloat16":
+        return jnp.asarray(arr.view(jnp.bfloat16))
+    return jnp.asarray(arr)
+
+
+# --------------------------------------------------------------------------
+# sparse models
+# --------------------------------------------------------------------------
+
+_INDEX_ARRAYS = ("indptr", "postings_doc", "postings_w", "postings_tf",
+                 "head_slot", "head_rows")
+_STATS_ARRAYS = ("df", "idf", "doc_len", "avgdl")
+_STATIC_FIELDS = ("n_docs", "n_docs_pad", "vocab_size", "tail_pmax", "head_size")
+
+
+def save_sparse_model(path: str, model: SparseModel) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    dtypes: Dict[str, str] = {}
+    for name in _INDEX_ARRAYS:
+        arrays[name], dtypes[name] = _to_numpy_savable(getattr(model.index, name))
+    for name in _STATS_ARRAYS:
+        arrays[f"stats_{name}"], dtypes[f"stats_{name}"] = _to_numpy_savable(
+            getattr(model.index.stats, name))
+    arrays["vocab_df"] = np.asarray(model.vocab.df)
+    np.savez(os.path.join(path, "arrays.npz"), **arrays)
+
+    with open(os.path.join(path, "vocab.txt"), "w") as f:
+        terms = sorted(model.vocab.term_to_id.items(), key=lambda kv: kv[1])
+        # term ids may be non-contiguous when bigram pairs exist
+        f.write("\n".join(f"{i}\t{t}" for t, i in terms))
+    if model.vocab.pair_to_id:
+        pairs = np.array(sorted(model.vocab.pair_to_id.items()), dtype=np.int64)
+        np.save(os.path.join(path, "vocab.pairs.npy"), pairs)
+
+    with open(os.path.join(path, "docids.txt"), "w") as f:
+        f.write("\n".join(model.docids))
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "model_type": type(model).__name__,
+        "lang": model.lang,
+        "max_query_terms": model.max_query_terms,
+        "query_weight": model.query_weight,
+        "tail_budget": model.tail_budget,
+        "use_fused_topk": model.use_fused_topk,
+        "statics": {k: getattr(model.index, k) for k in _STATIC_FIELDS},
+        "dtypes": dtypes,
+        "vocab_n_docs": model.vocab.n_docs,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_sparse_model(path: str) -> SparseModel:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "arrays.npz"))
+    dtypes = meta["dtypes"]
+
+    index_kw = {name: _from_numpy_saved(data[name], dtypes[name])
+                for name in _INDEX_ARRAYS}
+    stats = IndexStats(**{
+        name: _from_numpy_saved(data[f"stats_{name}"], dtypes[f"stats_{name}"])
+        for name in _STATS_ARRAYS
+    })
+    index = SparseIndex(stats=stats, **index_kw, **meta["statics"])
+
+    term_to_id: Dict[str, int] = {}
+    with open(os.path.join(path, "vocab.txt")) as f:
+        for line in f:
+            if line.rstrip("\n"):
+                i, t = line.rstrip("\n").split("\t", 1)
+                term_to_id[t] = int(i)
+    pair_to_id = None
+    pairs_path = os.path.join(path, "vocab.pairs.npy")
+    if os.path.exists(pairs_path):
+        pairs = np.load(pairs_path)
+        pair_to_id = {int(k): int(v) for k, v in pairs}
+    vocab = Vocab(term_to_id, data["vocab_df"], meta["vocab_n_docs"],
+                  pair_to_id=pair_to_id)
+
+    with open(os.path.join(path, "docids.txt")) as f:
+        docids = f.read().split("\n")
+
+    cls = _MODEL_TYPES[meta["model_type"]]
+    return cls(vocab=vocab, index=index, docids=docids, lang=meta["lang"],
+               max_query_terms=meta["max_query_terms"],
+               query_weight=meta["query_weight"],
+               tail_budget=meta.get("tail_budget", 1024),
+               use_fused_topk=meta.get("use_fused_topk", True))
+
+
+# --------------------------------------------------------------------------
+# registries (one model per language)
+# --------------------------------------------------------------------------
+
+def save_registry(path: str, models: Dict[str, SparseModel],
+                  extra_meta: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    for lang, model in models.items():
+        save_sparse_model(os.path.join(path, lang), model)
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "languages": sorted(models),
+        "extra": extra_meta or {},
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_registry(path: str) -> Dict[str, SparseModel]:
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {manifest['format_version']} is newer than "
+            f"this build ({FORMAT_VERSION})")
+    return {lang: load_sparse_model(os.path.join(path, lang))
+            for lang in manifest["languages"]}
+
+
+# --------------------------------------------------------------------------
+# dense model (encoder params + embedding index)
+# --------------------------------------------------------------------------
+
+def save_dense_model(path: str, dense) -> None:
+    """Save a tdr.models.dense.DenseModel (params + flat index + docids)."""
+    os.makedirs(path, exist_ok=True)
+    flat, treedef = jax.tree_util.tree_flatten(dense.params)
+    arrays = {}
+    dtypes = {}
+    for i, leaf in enumerate(flat):
+        arrays[f"p{i}"], dtypes[f"p{i}"] = _to_numpy_savable(leaf)
+    np.savez(os.path.join(path, "params.npz"), **arrays)
+    emb, emb_dt = _to_numpy_savable(dense.flat.embeddings)
+    np.savez(os.path.join(path, "index.npz"), embeddings=emb)
+    with open(os.path.join(path, "docids.txt"), "w") as f:
+        f.write("\n".join(dense.docids))
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "n_leaves": len(flat),
+        "dtypes": dtypes,
+        "emb_dtype": emb_dt,
+        "n_docs": dense.flat.n_docs,
+        "cfg": dataclasses.asdict(dense.cfg),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_dense_model(path: str):
+    from tdr.models.dense import DenseModel, FlatIndex
+    from tdr.models.encoder import init_encoder
+    from tdr.utils.config import DenseConfig
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = DenseConfig(**meta["cfg"])
+    model, params0 = init_encoder(cfg)
+    _, treedef = jax.tree_util.tree_flatten(params0)
+    data = np.load(os.path.join(path, "params.npz"))
+    flat = [_from_numpy_saved(data[f"p{i}"], meta["dtypes"][f"p{i}"])
+            for i in range(meta["n_leaves"])]
+    params = jax.tree_util.tree_unflatten(treedef, flat)
+    idx_data = np.load(os.path.join(path, "index.npz"))
+    flat_index = FlatIndex(
+        embeddings=_from_numpy_saved(idx_data["embeddings"], meta["emb_dtype"]),
+        n_docs=meta["n_docs"])
+    with open(os.path.join(path, "docids.txt")) as f:
+        docids = f.read().split("\n")
+    return DenseModel(model=model, params=params, cfg=cfg, docids=docids,
+                      flat=flat_index)

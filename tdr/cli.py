@@ -1,0 +1,163 @@
+"""tdr command-line interface.
+
+The reference has no entry points — reproduction means running scripts in
+README order with pickles appearing in the working directory (README.md
+"Reproduce our results").  Here: one CLI over the checkpointed registry.
+
+    python -m tdr.cli build    --corpus corpus.json --out idx/ [--model bm25|cosine]
+    python -m tdr.cli retrieve --index idx/ --queries test.csv --out submission.csv
+    python -m tdr.cli eval     --index idx/ --queries dev.csv
+    python -m tdr.cli validate --submission submission.csv
+    python -m tdr.cli synth    --docs 1000 --queries 100 --out data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_build(args) -> int:
+    from tdr.ckpt import save_registry
+    from tdr.data import load_corpus
+    from tdr.models import BM25Model, TfidfCosineModel
+    from tdr.rank import build_language_models
+    from tdr.utils.config import TdrConfig
+    from tdr.utils.trace import Tracer, log
+
+    cfg = TdrConfig.from_json(open(args.config).read()) if args.config else TdrConfig()
+    corpus = load_corpus(args.corpus)
+    model_cls = {"bm25": BM25Model, "cosine": TfidfCosineModel}[args.model]
+    tracer = Tracer("build")
+    models = build_language_models(
+        corpus, model_cls, bm25=cfg.bm25, index_cfg=cfg.index,
+        max_query_terms=cfg.retrieval.max_query_terms, tracer=tracer,
+        use_native=not args.no_native)
+    save_registry(args.out, models, extra_meta={"model": args.model,
+                                                "config": json.loads(cfg.to_json())})
+    log.info("saved %d language models to %s", len(models), args.out)
+    print(tracer.report())
+    return 0
+
+
+def _cmd_retrieve(args) -> int:
+    from tdr.ckpt import load_registry
+    from tdr.data import load_queries
+    from tdr.eval import write_submission, validate_submission
+    from tdr.rank import LanguageRouter
+    from tdr.utils.trace import log
+
+    models = load_registry(args.index)
+    queries = load_queries(args.queries)
+    router = LanguageRouter(models, query_batch=args.batch)
+    results = router.retrieve(queries.queries, queries.langs, k=args.k)
+    write_submission(results, args.out, ids=None, k=args.k)
+    problems = validate_submission(args.out, expect_k=args.k)
+    if problems:
+        log.warning("submission validation problems: %s", problems[:5])
+        return 1
+    log.info("wrote %s (%d queries, top-%d)", args.out, len(results), args.k)
+    return 0
+
+
+def _cmd_eval(args) -> int:
+    from tdr.ckpt import load_registry
+    from tdr.data import load_queries
+    from tdr.eval import evaluate_retrieval
+    from tdr.rank import LanguageRouter
+
+    models = load_registry(args.index)
+    queries = load_queries(args.queries)
+    if not queries.positive_docs:
+        print("error: query file has no positive_docs column", file=sys.stderr)
+        return 2
+    router = LanguageRouter(models, query_batch=args.batch)
+    results = router.retrieve(queries.queries, queries.langs, k=args.k)
+    report = evaluate_retrieval(results, queries.positive_docs, queries.langs)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def _cmd_validate(args) -> int:
+    from tdr.eval import validate_submission
+
+    problems = validate_submission(args.submission, expect_k=args.k)
+    if problems:
+        print("\n".join(problems))
+        return 1
+    print("OK")
+    return 0
+
+
+def _cmd_synth(args) -> int:
+    from tdr.data import synthetic_corpus, SyntheticSpec
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=args.docs, n_queries=args.queries, seed=args.seed))
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "corpus.json"), "w") as f:
+        json.dump([{"docid": d, "text": t, "lang": l}
+                   for d, t, l in zip(corpus.docids, corpus.texts, corpus.langs)], f)
+    import csv
+
+    with open(os.path.join(args.out, "dev.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query_id", "query", "positive_docs", "lang"])
+        for qid, q, p, l in zip(queries.query_ids, queries.queries,
+                                queries.positive_docs, queries.langs):
+            w.writerow([qid, q, p, l])
+    print(f"wrote {args.out}/corpus.json ({args.docs} docs) and dev.csv ({args.queries} queries)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tdr", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build per-language index registry")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--model", choices=["bm25", "cosine"], default="bm25")
+    b.add_argument("--config", default=None, help="TdrConfig json")
+    b.add_argument("--no-native", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    r = sub.add_parser("retrieve", help="retrieve top-k, write submission.csv")
+    r.add_argument("--index", required=True)
+    r.add_argument("--queries", required=True)
+    r.add_argument("--out", default="submission.csv")
+    r.add_argument("--k", type=int, default=10)
+    r.add_argument("--batch", type=int, default=256)
+    r.set_defaults(fn=_cmd_retrieve)
+
+    e = sub.add_parser("eval", help="recall@k / mrr@k report on labeled queries")
+    e.add_argument("--index", required=True)
+    e.add_argument("--queries", required=True)
+    e.add_argument("--k", type=int, default=10)
+    e.add_argument("--batch", type=int, default=256)
+    e.set_defaults(fn=_cmd_eval)
+
+    v = sub.add_parser("validate", help="validate a submission csv")
+    v.add_argument("--submission", required=True)
+    v.add_argument("--k", type=int, default=10)
+    v.set_defaults(fn=_cmd_validate)
+
+    s = sub.add_parser("synth", help="generate a synthetic corpus + dev set")
+    s.add_argument("--docs", type=int, default=1000)
+    s.add_argument("--queries", type=int, default=100)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--out", default="data")
+    s.set_defaults(fn=_cmd_synth)
+
+    args = p.parse_args(argv)
+    from tdr.utils.jax_cache import enable
+
+    enable()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,134 @@
+"""Checkpoint round-trip + CLI end-to-end tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tdr.ckpt import (
+    load_registry,
+    save_registry,
+    save_dense_model,
+    load_dense_model,
+)
+from tdr.data import synthetic_corpus, SyntheticSpec
+from tdr.eval import recall_at_k
+from tdr.models import BM25Model, TfidfCosineModel
+from tdr.rank import LanguageRouter, build_language_models
+from tdr.utils.config import IndexConfig
+
+CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64,
+                  head_budget_bytes=1 << 20)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic_corpus(SyntheticSpec(n_docs=200, n_queries=30, seed=41))
+
+
+@pytest.fixture(scope="module")
+def models(world):
+    corpus, _ = world
+    return build_language_models(corpus, BM25Model, index_cfg=CFG)
+
+
+class TestRegistryRoundtrip:
+    def test_identical_retrieval_after_reload(self, tmp_path, world, models):
+        corpus, queries = world
+        path = str(tmp_path / "idx")
+        save_registry(path, models, extra_meta={"note": "test"})
+        loaded = load_registry(path)
+        assert sorted(loaded) == sorted(models)
+
+        r1 = LanguageRouter(models, query_batch=16).retrieve(
+            queries.queries, queries.langs, k=10)
+        r2 = LanguageRouter(loaded, query_batch=16).retrieve(
+            queries.queries, queries.langs, k=10)
+        assert r1 == r2
+
+    def test_manifest_contents(self, tmp_path, models):
+        path = str(tmp_path / "idx2")
+        save_registry(path, models)
+        manifest = json.load(open(os.path.join(path, "manifest.json")))
+        assert manifest["format_version"] == 1
+        assert set(manifest["languages"]) == set(models)
+        for lang in models:
+            assert os.path.exists(os.path.join(path, lang, "arrays.npz"))
+            assert os.path.exists(os.path.join(path, lang, "meta.json"))
+
+    def test_future_version_rejected(self, tmp_path, models):
+        path = str(tmp_path / "idx3")
+        save_registry(path, models)
+        m = json.load(open(os.path.join(path, "manifest.json")))
+        m["format_version"] = 999
+        json.dump(m, open(os.path.join(path, "manifest.json"), "w"))
+        with pytest.raises(ValueError, match="newer"):
+            load_registry(path)
+
+    def test_bigram_pair_vocab_roundtrip(self, tmp_path, world):
+        """fr models carry packed bigram vocab; must survive reload."""
+        corpus, queries = world
+        from tdr.text.fast import fast_available
+
+        if not fast_available():
+            pytest.skip("native tokenizer needed for pair vocab")
+        models = build_language_models(corpus, BM25Model, index_cfg=CFG)
+        fr = models.get("fr")
+        if fr is None or not fr.vocab.pair_to_id:
+            pytest.skip("no fr bigram pairs in this corpus")
+        path = str(tmp_path / "idx4")
+        save_registry(path, {"fr": fr})
+        loaded = load_registry(path)["fr"]
+        assert loaded.vocab.pair_to_id == fr.vocab.pair_to_id
+
+
+class TestDenseRoundtrip:
+    def test_dense_model_roundtrip(self, tmp_path, world):
+        from tdr.models.dense import DenseModel
+        from tdr.train import create_train_state
+        from tdr.utils.config import DenseConfig
+
+        corpus, queries = world
+        cfg = DenseConfig(vocab_size=1000, dim=32, depth=1, heads=2, max_len=16)
+        model, state, _ = create_train_state(cfg)
+        dm = DenseModel.build(model, state.params, cfg,
+                              corpus.texts[:50], corpus.docids[:50], batch=32)
+        path = str(tmp_path / "dense")
+        save_dense_model(path, dm)
+        loaded = load_dense_model(path)
+        r1 = dm.retrieve(queries.queries[:5], k=5)
+        r2 = loaded.retrieve(queries.queries[:5], k=5)
+        assert r1 == r2
+
+
+class TestCli:
+    def test_synth_build_eval_retrieve_validate(self, tmp_path):
+        from tdr.cli import main
+
+        data = str(tmp_path / "data")
+        idx = str(tmp_path / "idx")
+        sub = str(tmp_path / "submission.csv")
+        assert main(["synth", "--docs", "400", "--queries", "25", "--out", data]) == 0
+        assert main(["build", "--corpus", f"{data}/corpus.json", "--out", idx]) == 0
+        assert main(["retrieve", "--index", idx, "--queries", f"{data}/dev.csv",
+                     "--out", sub, "--batch", "16"]) == 0
+        assert main(["validate", "--submission", sub]) == 0
+        # eval prints a json report
+        import io, contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["eval", "--index", idx, "--queries", f"{data}/dev.csv",
+                       "--batch", "16"])
+        assert rc == 0
+        report = json.loads(buf.getvalue())
+        assert report["recall@10"] >= 0.9
+
+    def test_validate_catches_bad_submission(self, tmp_path):
+        from tdr.cli import main
+
+        bad = str(tmp_path / "bad.csv")
+        with open(bad, "w") as f:
+            f.write("id,docids\n0,\"['a']\"\n")
+        assert main(["validate", "--submission", bad]) == 1
