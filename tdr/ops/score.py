@@ -98,6 +98,20 @@ def topk_masked(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @partial(jax.jit, static_argnames=("top_k",))
+def topk_language_filtered(
+    scores: jnp.ndarray,        # (Q, N)
+    doc_langs: jnp.ndarray,     # (N,) int32 language code per doc
+    query_langs: jnp.ndarray,   # (Q,) int32 language code per query
+    top_k: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-index language-filtered top-k: keep only docs whose language
+    matches the query's (the reference's walk-the-argsort filter,
+    text_preprocessing_and_stopwords.py:252-268 — here a masked top_k)."""
+    mask = doc_langs[None, :] == query_langs[:, None]
+    return jax.lax.top_k(jnp.where(mask, scores, NEG_INF), top_k)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
 def score_and_topk(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,183 @@
+"""Sentence-level retrieval + dense re-rank cascade.
+
+Re-implements the reference's third pipeline family (team_run1.py /
+cosine_similarity_lm_reranking..py):
+
+* documents split into sentences on '.' with ids ``{docid}_{idx}``
+  (team_run1.py:45-46, :88-99)
+* sentence-level BM25 index (the same sparse score-row engine — sentences
+  are just short documents)
+* boolean candidate-union generation: union of postings for the query's
+  terms, capped at MAX_CANDIDATES (team_run1.py:152-169)
+* dense re-rank: encode top sentences + query with the dual encoder,
+  cosine top-k, then dedupe sentence hits back to documents
+  (team_run1.py:274-295 ``get_original_docid`` + dedupe)
+
+TPU shape: BM25 stage uses score_and_topk_fused over the sentence index;
+the dense stage is a batched encoder forward + small matmul.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdr.models.sparse import BM25Model
+from tdr.text.preprocess import Preprocessor
+from tdr.utils.config import BM25Config, IndexConfig
+
+
+def split_into_sentences(text: str) -> List[str]:
+    """Reference semantics: split on '.', drop empties (team_run1.py:45-46)."""
+    return [s.strip() for s in text.split(".") if s.strip()]
+
+
+def sentence_id(docid: str, idx: int) -> str:
+    return f"{docid}_{idx}"
+
+
+def get_original_docid(sid: str) -> str:
+    """``{docid}_{idx}`` → docid (team_run1.py:126-127)."""
+    return sid.rsplit("_", 1)[0]
+
+
+def explode_corpus(
+    docids: Sequence[str], texts: Sequence[str]
+) -> Tuple[List[str], List[str]]:
+    """Docs → (sentence ids, sentence texts)."""
+    sids: List[str] = []
+    stexts: List[str] = []
+    for d, t in zip(docids, texts):
+        for i, s in enumerate(split_into_sentences(t)):
+            sids.append(sentence_id(d, i))
+            stexts.append(s)
+    return sids, stexts
+
+
+@dataclass
+class SentenceBM25:
+    """Per-language sentence-level BM25 built on the sparse score-row engine.
+
+    Keeps the original sentence texts by row so downstream re-rankers can
+    re-encode candidates."""
+
+    model: BM25Model
+    texts: List[str]
+
+    @classmethod
+    def build(
+        cls, docids: Sequence[str], texts: Sequence[str], lang: str,
+        preprocessor: Optional[Preprocessor] = None,
+        bm25: BM25Config = BM25Config(dl_scaled_by_b=True, idf_variant="bm25_plus1"),
+        index_cfg: IndexConfig = IndexConfig(),
+    ) -> "SentenceBM25":
+        # the sentence pipeline uses the textbook b-scaled denominator and
+        # +1-smoothed idf (team_run1.py:187-193)
+        sids, stexts = explode_corpus(docids, texts)
+        pp = preprocessor or Preprocessor("best")
+        toks = [pp(s, lang) for s in stexts]
+        return cls(BM25Model.build(toks, sids, lang=lang, bm25=bm25,
+                                   index_cfg=index_cfg), stexts)
+
+    def top_sentences(
+        self, query_tokens: Sequence[Sequence[str]], k: int = 100
+    ) -> Tuple[np.ndarray, List[List[str]]]:
+        vals, rows = self.model.topk_tokens(query_tokens, k)
+        sids = [[self.model.docids[r] for r, v in zip(qr, qv) if np.isfinite(v)]
+                for qr, qv in zip(rows, vals)]
+        return vals, sids
+
+
+def candidate_union(
+    model: BM25Model,
+    qids: np.ndarray,           # (Q, T) encoded query term ids
+    qw: np.ndarray,             # (Q, T) weights (0 = padding)
+    max_candidates: int = 1000,
+) -> np.ndarray:
+    """Boolean union of postings per query, capped (team_run1.py:152-169).
+
+    Returns (Q, max_candidates) int32 local rows, padded with -1.  Order
+    follows the reference: postings walked term by term, first-seen kept.
+    """
+    indptr = np.asarray(model.index.indptr)
+    docs = np.asarray(model.index.postings_doc)
+    df = np.asarray(model.index.stats.df).astype(np.int64)
+    Q, T = qids.shape
+    out = np.full((Q, max_candidates), -1, np.int32)
+    for q in range(Q):
+        seen: Dict[int, None] = {}
+        for t in range(T):
+            if qw[q, t] <= 0:
+                continue
+            term = int(qids[q, t])
+            for p in range(indptr[term], indptr[term] + int(df[term])):
+                d = int(docs[p])
+                if d not in seen:
+                    seen[d] = None
+                    if len(seen) >= max_candidates:
+                        break
+            if len(seen) >= max_candidates:
+                break
+        cand = list(seen)
+        out[q, : len(cand)] = cand
+    return out
+
+
+@dataclass
+class SentenceLmCascade:
+    """Sentence-BM25 top-M → dense-encoder re-rank → doc dedupe top-k.
+
+    Mirrors team_run1.py:173-295: BM25 over sentences (top 100), mean-pooled
+    transformer embeddings for candidate sentences + query, cosine ranking,
+    sentence→doc dedupe to the final top-k.
+    """
+
+    sentence_models: Dict[str, SentenceBM25]
+    dense: object                       # tdr.models.dense.DenseModel-like
+    bm25_candidates: int = 100
+    preprocessor: Preprocessor = field(default_factory=lambda: Preprocessor("best"))
+    default_lang: str = "en"
+
+    def retrieve(
+        self, queries: Sequence[str], langs: Sequence[str], k: int = 10
+    ) -> List[List[str]]:
+        results: List[Optional[List[str]]] = [None] * len(queries)
+        groups: Dict[str, List[int]] = {}
+        for i, lang in enumerate(langs):
+            key = lang if lang in self.sentence_models else self.default_lang
+            groups.setdefault(key, []).append(i)
+
+        for lang, q_idx in groups.items():
+            smodel = self.sentence_models[lang]
+            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            _, sent_ids = smodel.top_sentences(toks, self.bm25_candidates)
+            # map sentence ids back to their text rows for encoding
+            sid_to_row = {s: r for r, s in enumerate(smodel.model.docids)}
+            for j, qi in enumerate(q_idx):
+                cand_sids = sent_ids[j]
+                if not cand_sids:
+                    results[qi] = []
+                    continue
+                # dense re-rank: cosine between query and candidate sentences
+                q_emb = self.dense.encode_queries([queries[qi]])            # (1, D)
+                s_texts = [smodel.texts[sid_to_row[s]] for s in cand_sids]
+                s_emb = self.dense.encode_queries(s_texts)                  # (M, D)
+                sims = (s_emb @ q_emb[0])
+                order = np.argsort(-sims, kind="stable")
+                # dedupe sentences → docs, keep first (best) per doc
+                docs: List[str] = []
+                seen = set()
+                for o in order:
+                    d = get_original_docid(cand_sids[o])
+                    if d not in seen:
+                        seen.add(d)
+                        docs.append(d)
+                    if len(docs) >= k:
+                        break
+                results[qi] = docs
+        return [r if r is not None else [] for r in results]

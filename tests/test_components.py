@@ -1,0 +1,187 @@
+"""Tests for the remaining reference-parity components: sentence cascade,
+candidate union, SVD path, logreg ranker, unigram LM, language-filtered
+top-k."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdr.data import synthetic_corpus, SyntheticSpec
+from tdr.eval import recall_at_k
+from tdr.models import BM25Model
+from tdr.models.extras import LogisticRegressionRanker, UnigramLanguageModel
+from tdr.ops.score import topk_language_filtered, score_batch
+from tdr.ops.svd import tfidf_svd, project_queries, l2_normalize
+from tdr.rank.sentence import (
+    SentenceBM25,
+    SentenceLmCascade,
+    candidate_union,
+    explode_corpus,
+    get_original_docid,
+    split_into_sentences,
+)
+from tdr.text import Preprocessor, build_vocab, encode_docs, encode_queries
+from tdr.index import build_tfidf_index
+from tdr.utils.config import BM25Config, IndexConfig
+
+CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64,
+                  head_budget_bytes=1 << 20, head_dtype="float32")
+
+
+class TestSentenceSplit:
+    def test_split_and_ids(self):
+        sents = split_into_sentences("First sentence. Second one.  . Third")
+        assert sents == ["First sentence", "Second one", "Third"]
+        sids, stexts = explode_corpus(["d1"], ["A b. C d."])
+        assert sids == ["d1_0", "d1_1"]
+        assert get_original_docid("d1_0") == "d1"
+        assert get_original_docid("doc_with_under_7_3") == "doc_with_under_7"
+
+
+class TestSentenceBM25:
+    def test_retrieves_doc_via_sentence(self):
+        docids = ["alpha", "beta"]
+        texts = ["cats purr loudly. dogs bark often.",
+                 "quantum qubits decohere. lasers cool atoms."]
+        sb = SentenceBM25.build(docids, texts, "en", index_cfg=CFG)
+        pp = Preprocessor("best")
+        _, sids = sb.top_sentences([pp("qubits decohere", "en")], k=2)
+        assert get_original_docid(sids[0][0]) == "beta"
+        assert len(sb.texts) == len(sb.model.docids) == 4
+
+
+class TestCandidateUnion:
+    def test_union_matches_postings(self):
+        docs = [["a", "b"], ["b", "c"], ["c", "d"], ["e"]]
+        model = BM25Model.build(docs, ["d0", "d1", "d2", "d3"], index_cfg=CFG)
+        qids, qw = encode_queries([["b", "d"]], model.vocab, 8)
+        cand = candidate_union(model, qids, qw, max_candidates=10)
+        got = set(cand[0][cand[0] >= 0].tolist())
+        assert got == {0, 1, 2}    # docs containing b or d
+
+    def test_cap_respected(self):
+        docs = [["x"] for _ in range(50)]
+        model = BM25Model.build(docs, [f"d{i}" for i in range(50)], index_cfg=CFG)
+        qids, qw = encode_queries([["x"]], model.vocab, 4)
+        cand = candidate_union(model, qids, qw, max_candidates=7)
+        assert (cand[0] >= 0).sum() == 7
+
+
+class TestSentenceLmCascade:
+    def test_end_to_end(self):
+        from tdr.models.dense import DenseModel
+        from tdr.train import train_dense_retriever
+        from tdr.utils.config import DenseConfig
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=80, n_queries=30, seed=19,
+                          ref_proportions=False, langs=("en",),
+                          doc_len_mean=40))
+        dcfg = DenseConfig(vocab_size=2000, dim=48, depth=2, heads=4, max_len=32)
+        model, state, _ = train_dense_retriever(
+            corpus, queries, dcfg, epochs=6, batch_size=20, n_neg=1, lr=1e-3)
+        dense = DenseModel.build(model, state.params, dcfg,
+                                 corpus.texts, corpus.docids, batch=32)
+        sb = SentenceBM25.build(corpus.docids, corpus.texts, "en", index_cfg=CFG)
+        cascade = SentenceLmCascade({"en": sb}, dense, bm25_candidates=30)
+        results = cascade.retrieve(queries.queries, queries.langs, k=10)
+        rec = recall_at_k(results, queries.positive_docs)
+        assert rec >= 0.7, rec
+        # dedupe: no repeated docs per query
+        for r in results:
+            assert len(set(r)) == len(r)
+
+
+class TestSvdPath:
+    def test_svd_reconstructs_cosine_ranking(self):
+        """Full-rank SVD coordinates must reproduce exact cosine scores."""
+        docs = [[f"t{i}", f"t{(i+1)%6}", "common"] for i in range(6)]
+        vocab = build_vocab(docs)
+        coo = encode_docs(docs, vocab)
+        idx = build_tfidf_index(*coo, vocab.size, index_cfg=CFG)
+        emb, S, Vt = tfidf_svd(idx, jax.random.PRNGKey(0), rank=8, iters=3)
+        qids, qw = encode_queries([["t0", "common"]], vocab, 4)
+        idf = np.asarray(idx.stats.idf)
+        qv = np.where(qw > 0, idf[np.clip(qids, 0, vocab.size - 1)], 0.0).astype(np.float32)
+        q_low = project_queries(Vt, jnp.asarray(qids), jnp.asarray(qv))
+        approx = np.asarray(emb[: len(docs)] @ q_low[0])
+        exact = np.asarray(score_batch(idx, jnp.asarray(qids), jnp.asarray(qv)))[0, : len(docs)]
+        np.testing.assert_allclose(approx, exact, rtol=1e-3, atol=1e-4)
+
+    def test_low_rank_search_recall(self):
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=150, n_queries=30, seed=29,
+                          ref_proportions=False, langs=("en",)))
+        pp = Preprocessor("best")
+        toks = [pp(t, "en") for t in corpus.texts]
+        vocab = build_vocab(toks)
+        coo = encode_docs(toks, vocab)
+        idx = build_tfidf_index(*coo, vocab.size, index_cfg=CFG)
+        emb, S, Vt = tfidf_svd(idx, jax.random.PRNGKey(1), rank=64, iters=2)
+        from tdr.models.dense import build_flat_index, flat_search
+
+        flat = build_flat_index(np.asarray(l2_normalize(emb[: len(corpus)])))
+        qtoks = [pp(q, "en") for q in queries.queries]
+        qids, qw = encode_queries(qtoks, vocab, 16)
+        idf = np.asarray(idx.stats.idf)
+        qv = np.where(qw > 0, idf[np.clip(qids, 0, vocab.size - 1)], 0.0).astype(np.float32)
+        q_low = l2_normalize(project_queries(Vt, jnp.asarray(qids), jnp.asarray(qv)))
+        _, rows = flat_search(flat, q_low, top_k=10)
+        retrieved = [[corpus.docids[r] for r in qr] for qr in np.asarray(rows)]
+        assert recall_at_k(retrieved, queries.positive_docs) >= 0.8
+
+
+class TestLogReg:
+    def test_learns_separable_data(self):
+        rng = np.random.RandomState(0)
+        X = rng.randn(200, 8).astype(np.float32)
+        w_true = rng.randn(8)
+        y = (X @ w_true > 0).astype(np.float32)
+        clf = LogisticRegressionRanker(lr=0.5, epochs=500).fit(X, y)
+        acc = ((clf.predict_proba(X) > 0.5) == y).mean()
+        assert acc >= 0.95, acc
+
+    def test_rank_orders_by_probability(self):
+        X = np.array([[0.0], [1.0], [2.0]], np.float32)
+        clf = LogisticRegressionRanker(lr=0.5, epochs=300).fit(
+            X, np.array([0, 1, 1], np.float32))
+        assert clf.rank(X, k=3).tolist() == [2, 1, 0]
+
+
+class TestUnigramLM:
+    def test_probabilities_sum_to_one(self):
+        docs = [["a", "a", "b"], ["b", "c"]]
+        vocab = build_vocab(docs)
+        coo = encode_docs(docs, vocab)
+        from tdr.index import build_index
+
+        idx = build_index(*coo, vocab.size, index_cfg=CFG)
+        lm = UnigramLanguageModel.from_index(idx)
+        np.testing.assert_allclose(np.exp(np.asarray(lm.log_prob)).sum(), 1.0,
+                                   rtol=1e-5)
+        # 'a' (2 occurrences) more probable than 'c' (1)
+        a, c = vocab.term_to_id["a"], vocab.term_to_id["c"]
+        assert lm.log_prob[a] > lm.log_prob[c]
+
+    def test_query_scoring(self):
+        docs = [["common"] * 9 + ["rare"]]
+        vocab = build_vocab(docs)
+        coo = encode_docs(docs, vocab)
+        from tdr.index import build_index
+
+        idx = build_index(*coo, vocab.size, index_cfg=CFG)
+        lm = UnigramLanguageModel.from_index(idx)
+        qids, qw = encode_queries([["common"], ["rare"]], vocab, 2)
+        s = lm.score_queries(qids, qw)
+        assert s[0] > s[1]
+
+
+class TestLanguageFilteredTopk:
+    def test_filter(self):
+        scores = jnp.asarray([[5.0, 4.0, 3.0, 2.0]])
+        doc_langs = jnp.asarray([0, 1, 0, 1])
+        vals, idx = topk_language_filtered(scores, doc_langs,
+                                           jnp.asarray([1]), top_k=2)
+        assert np.asarray(idx)[0].tolist() == [1, 3]
