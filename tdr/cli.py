@@ -80,6 +80,38 @@ def _cmd_eval(args) -> int:
     return 0
 
 
+def _cmd_train(args) -> int:
+    """Train the dense dual-encoder retriever on (query, positive, negatives)
+    triples and checkpoint encoder + corpus embedding index."""
+    from tdr.ckpt import save_dense_model
+    from tdr.data import load_corpus, load_queries
+    from tdr.models.dense import DenseModel
+    from tdr.parallel import make_mesh
+    from tdr.train import train_dense_retriever
+    from tdr.utils.config import DenseConfig, TdrConfig
+    from tdr.utils.trace import log
+
+    import jax
+
+    cfg = TdrConfig.from_json(open(args.config).read()) if args.config else TdrConfig()
+    dcfg = cfg.dense
+    corpus = load_corpus(args.corpus)
+    train_q = load_queries(args.train)
+    mesh = None
+    if args.mesh and len(jax.devices()) > 1:
+        data, model_p = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh(data=data, model=model_p)
+    model, state, metrics = train_dense_retriever(
+        corpus, train_q, dcfg, mesh=mesh, epochs=args.epochs,
+        batch_size=args.batch, n_neg=args.negatives, lr=args.lr)
+    log.info("final training metrics: %s", metrics)
+    dense = DenseModel.build(model, state.params, dcfg, corpus.texts,
+                             corpus.docids, with_ivf=args.ivf)
+    save_dense_model(args.out, dense)
+    log.info("saved dense model to %s", args.out)
+    return 0
+
+
 def _cmd_validate(args) -> int:
     from tdr.eval import validate_submission
 
@@ -108,7 +140,20 @@ def _cmd_synth(args) -> int:
         for qid, q, p, l in zip(queries.query_ids, queries.queries,
                                 queries.positive_docs, queries.langs):
             w.writerow([qid, q, p, l])
-    print(f"wrote {args.out}/corpus.json ({args.docs} docs) and dev.csv ({args.queries} queries)")
+    # train.csv with sampled negatives (the train split schema, SURVEY.md §0)
+    import numpy as np
+
+    rng = np.random.RandomState(args.seed + 1)
+    with open(os.path.join(args.out, "train.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query_id", "query", "positive_docs", "negative_docs", "lang"])
+        for qid, q, p, l in zip(queries.query_ids, queries.queries,
+                                queries.positive_docs, queries.langs):
+            negs = [corpus.docids[i] for i in rng.choice(len(corpus.docids), 2)
+                    if corpus.docids[i] != p][:2]
+            w.writerow([qid, q, p, str(negs), l])
+    print(f"wrote {args.out}/corpus.json ({args.docs} docs), dev.csv and "
+          f"train.csv ({args.queries} queries)")
     return 0
 
 
@@ -139,6 +184,19 @@ def main(argv=None) -> int:
     e.add_argument("--k", type=int, default=10)
     e.add_argument("--batch", type=int, default=256)
     e.set_defaults(fn=_cmd_eval)
+
+    t = sub.add_parser("train", help="train the dense dual-encoder retriever")
+    t.add_argument("--corpus", required=True)
+    t.add_argument("--train", required=True, help="train.csv with positive/negative docs")
+    t.add_argument("--out", required=True)
+    t.add_argument("--config", default=None)
+    t.add_argument("--epochs", type=int, default=3)
+    t.add_argument("--batch", type=int, default=64)
+    t.add_argument("--negatives", type=int, default=2)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--mesh", default=None, help="DATAxMODEL, e.g. 4x2")
+    t.add_argument("--ivf", action="store_true")
+    t.set_defaults(fn=_cmd_train)
 
     v = sub.add_parser("validate", help="validate a submission csv")
     v.add_argument("--submission", required=True)

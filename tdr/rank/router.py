@@ -30,6 +30,7 @@ def build_language_models(
     head_size: Optional[int] = None,
     tracer: Optional[Tracer] = None,
     use_native: bool = True,
+    resume_dir: Optional[str] = None,
 ) -> Dict[str, SparseModel]:
     """Partition corpus by language, preprocess, and build one model per
     language (bm25_ranking.ipynb:262-313).
@@ -38,6 +39,11 @@ def build_language_models(
     tokenizer + vectorized encoding (tdr.text.fast) when available and the
     preprocessor is the default "best" pipeline; falls back to the Python
     path otherwise.
+
+    ``resume_dir`` makes the build crash-resumable: each finished language
+    model is checkpointed there and already-complete languages are loaded
+    instead of rebuilt — the principled version of the reference's
+    os.path.exists pickle guards (SURVEY.md §5 "Failure detection").
     """
     pp = preprocessor or Preprocessor("best")
     tracer = tracer or Tracer("build_language_models")
@@ -53,6 +59,16 @@ def build_language_models(
 
     models: Dict[str, SparseModel] = {}
     for lang, rows in sorted(by_lang.items()):
+        if resume_dir is not None:
+            import os
+
+            from tdr.ckpt import load_sparse_model
+
+            lang_dir = os.path.join(resume_dir, lang)
+            if os.path.exists(os.path.join(lang_dir, "meta.json")):
+                models[lang] = load_sparse_model(lang_dir)
+                log.info("resumed '%s' model from %s", lang, lang_dir)
+                continue
         with tracer.span(f"build:{lang}", n_docs=len(rows)):
             docids = [corpus.docids[i] for i in rows]
             kwargs = dict(lang=lang, index_cfg=index_cfg,
@@ -74,6 +90,12 @@ def build_language_models(
                  model_cls.__name__, lang, len(rows),
                  models[lang].vocab.size, models[lang].index.head_size,
                  models[lang].index.tail_pmax)
+        if resume_dir is not None:
+            import os
+
+            from tdr.ckpt import save_sparse_model
+
+            save_sparse_model(os.path.join(resume_dir, lang), models[lang])
     return models
 
 
@@ -86,20 +108,30 @@ class LanguageRouter:
     preprocessor: Preprocessor = field(default_factory=lambda: Preprocessor("best"))
     query_batch: int = 128
     default_lang: str = "en"
+    detect_missing_lang: bool = True   # fast_langdetect path (team_run1.py:49-77)
 
-    def _group(self, langs: Sequence[str]) -> Dict[str, List[int]]:
+    def _group(self, langs: Optional[Sequence[str]], queries: Sequence[str]) -> Dict[str, List[int]]:
         groups: Dict[str, List[int]] = {}
-        for i, lang in enumerate(langs):
-            key = lang if lang in self.models else self.default_lang
-            groups.setdefault(key, []).append(i)
+        for i in range(len(queries)):
+            lang = langs[i] if langs is not None else None
+            if (lang is None or lang == "" or lang not in self.models):
+                if self.detect_missing_lang:
+                    from tdr.text.langid import detect_language
+
+                    lang = detect_language(queries[i], default=self.default_lang)
+                if lang not in self.models:
+                    lang = self.default_lang
+            groups.setdefault(lang, []).append(i)
         return groups
 
     def retrieve(
-        self, queries: Sequence[str], langs: Sequence[str], k: int = 10
+        self, queries: Sequence[str], langs: Optional[Sequence[str]] = None,
+        k: int = 10,
     ) -> List[List[str]]:
-        """Top-k docids per query, in input order."""
+        """Top-k docids per query, in input order.  ``langs=None`` (or
+        unknown codes) routes by detected language."""
         results: List[Optional[List[str]]] = [None] * len(queries)
-        for lang, q_idx in self._group(langs).items():
+        for lang, q_idx in self._group(langs, queries).items():
             model = self.models[lang]
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
             # batch to bound device memory (final_implementation.ipynb:470-506
@@ -114,11 +146,12 @@ class LanguageRouter:
         return [r if r is not None else [] for r in results]
 
     def retrieve_with_scores(
-        self, queries: Sequence[str], langs: Sequence[str], k: int = 10
+        self, queries: Sequence[str], langs: Optional[Sequence[str]] = None,
+        k: int = 10,
     ) -> Tuple[List[List[str]], np.ndarray]:
         docid_out: List[Optional[List[str]]] = [None] * len(queries)
         score_out = np.zeros((len(queries), k), np.float32)
-        for lang, q_idx in self._group(langs).items():
+        for lang, q_idx in self._group(langs, queries).items():
             model = self.models[lang]
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
             for s in range(0, len(q_idx), self.query_batch):

@@ -1,0 +1,65 @@
+"""Router language detection, resumable builds, train CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tdr.data import synthetic_corpus, SyntheticSpec
+from tdr.eval import recall_at_k
+from tdr.models import BM25Model
+from tdr.rank import LanguageRouter, build_language_models
+from tdr.utils.config import IndexConfig
+
+CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64,
+                  head_budget_bytes=1 << 20)
+
+
+@pytest.fixture(scope="module")
+def world():
+    corpus, queries = synthetic_corpus(SyntheticSpec(n_docs=300, n_queries=40, seed=51))
+    models = build_language_models(corpus, BM25Model, index_cfg=CFG)
+    return corpus, queries, models
+
+
+class TestLangDetectRouting:
+    def test_no_langs_detected(self, world):
+        """langs=None must route by detected language; ar/ko are script-
+        detected exactly, so recall should match explicit routing there."""
+        corpus, queries, models = world
+        router = LanguageRouter(models, query_batch=16)
+        explicit = router.retrieve(queries.queries, queries.langs, k=10)
+        detected = router.retrieve(queries.queries, None, k=10)
+        # script languages must agree exactly
+        for i, lang in enumerate(queries.langs):
+            if lang in ("ar", "ko"):
+                assert detected[i] == explicit[i]
+        # overall recall should stay close (latin langs may misroute to en)
+        r_d = recall_at_k(detected, queries.positive_docs)
+        assert r_d >= 0.5
+
+    def test_unknown_code_falls_back(self, world):
+        _, queries, models = world
+        router = LanguageRouter(models, query_batch=8, detect_missing_lang=False)
+        out = router.retrieve([queries.queries[0]], ["zz"], k=5)
+        assert len(out[0]) == 5
+
+
+class TestResumableBuild:
+    def test_resume_skips_completed_languages(self, tmp_path, world):
+        corpus, queries, _ = world
+        resume = str(tmp_path / "resume")
+        m1 = build_language_models(corpus, BM25Model, index_cfg=CFG,
+                                   resume_dir=resume)
+        assert os.path.exists(os.path.join(resume, "en", "meta.json"))
+        # delete one language's checkpoint: only that one rebuilds
+        import shutil
+
+        shutil.rmtree(os.path.join(resume, "ko"))
+        m2 = build_language_models(corpus, BM25Model, index_cfg=CFG,
+                                   resume_dir=resume)
+        r1 = LanguageRouter(m1, query_batch=16).retrieve(
+            queries.queries, queries.langs, k=10)
+        r2 = LanguageRouter(m2, query_batch=16).retrieve(
+            queries.queries, queries.langs, k=10)
+        assert r1 == r2
