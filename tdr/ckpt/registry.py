@@ -168,6 +168,62 @@ def load_registry(path: str) -> Dict[str, SparseModel]:
 
 
 # --------------------------------------------------------------------------
+# sharded index (one arrays file per shard + manifest)
+# --------------------------------------------------------------------------
+
+_SHARDED_STACKED = ("indptr", "postings_doc", "postings_w", "postings_tf",
+                    "head_rows", "df_local", "doc_len")
+_SHARDED_SHARED = ("head_slot", "idf", "avgdl", "n_valid")
+_SHARDED_STATICS = ("n_shards", "n_docs", "n_docs_pad_local", "vocab_size",
+                    "tail_pmax", "head_size")
+
+
+def save_sharded_index(path: str, sindex) -> None:
+    """One npz per shard (each loadable independently by its owning host in
+    a multi-host deployment) + shared arrays + manifest."""
+    os.makedirs(path, exist_ok=True)
+    dtypes: Dict[str, str] = {}
+    shared: Dict[str, np.ndarray] = {}
+    for name in _SHARDED_SHARED:
+        shared[name], dtypes[name] = _to_numpy_savable(getattr(sindex, name))
+    np.savez(os.path.join(path, "shared.npz"), **shared)
+    for s in range(sindex.n_shards):
+        arrays: Dict[str, np.ndarray] = {}
+        for name in _SHARDED_STACKED:
+            arr, dt = _to_numpy_savable(getattr(sindex, name)[s])
+            arrays[name] = arr
+            dtypes[name] = dt
+        np.savez(os.path.join(path, f"shard_{s:04d}.npz"), **arrays)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "statics": {k: int(getattr(sindex, k)) for k in _SHARDED_STATICS},
+        "dtypes": dtypes,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_sharded_index(path: str):
+    from tdr.parallel.sharded import ShardedSparseIndex
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        meta = json.load(f)
+    dtypes = meta["dtypes"]
+    shared = np.load(os.path.join(path, "shared.npz"))
+    kw = {name: _from_numpy_saved(shared[name], dtypes[name])
+          for name in _SHARDED_SHARED}
+    S = meta["statics"]["n_shards"]
+    per_shard = {name: [] for name in _SHARDED_STACKED}
+    for s in range(S):
+        data = np.load(os.path.join(path, f"shard_{s:04d}.npz"))
+        for name in _SHARDED_STACKED:
+            per_shard[name].append(_from_numpy_saved(data[name], dtypes[name]))
+    for name in _SHARDED_STACKED:
+        kw[name] = jnp.stack(per_shard[name])
+    return ShardedSparseIndex(**kw, **meta["statics"])
+
+
+# --------------------------------------------------------------------------
 # dense model (encoder params + embedding index)
 # --------------------------------------------------------------------------
 

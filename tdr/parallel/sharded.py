@@ -255,6 +255,63 @@ def global_row_to_doc(sindex: ShardedSparseIndex, rows: np.ndarray) -> np.ndarra
     return bounds[shard] + local
 
 
+@dataclass
+class ShardedBM25Model:
+    """Router-compatible model over a document-sharded index.
+
+    Presents the same ``topk_tokens`` surface as ``tdr.models.SparseModel``
+    so a ``LanguageRouter`` can mix single-chip and sharded per-language
+    models (e.g. shard only the dominant `en` partition across the mesh).
+    """
+
+    vocab: object                 # tdr.text.vocab.Vocab
+    sindex: ShardedSparseIndex
+    docids: list
+    mesh: Mesh
+    lang: str = "en"
+    max_query_terms: int = 64
+    query_weight: str = "unit"
+
+    @classmethod
+    def build(cls, doc_token_lists, docids, mesh: Mesh, lang: str = "en",
+              bm25=None, index_cfg=None, max_query_terms: int = 64):
+        from tdr.text.vocab import build_vocab, encode_docs
+        from tdr.utils.config import BM25Config, IndexConfig
+
+        bm25 = bm25 or BM25Config()
+        index_cfg = index_cfg or IndexConfig()
+        vocab = build_vocab(doc_token_lists, min_df=index_cfg.min_df)
+        coo = encode_docs(doc_token_lists, vocab)
+        sindex = build_sharded_index(
+            *coo, vocab.size, n_shards=mesh.shape["data"], bm25=bm25,
+            index_cfg=index_cfg)
+        return cls(vocab=vocab, sindex=sindex, docids=list(docids), mesh=mesh,
+                   lang=lang, max_query_terms=max_query_terms)
+
+    def encode_query_tokens(self, token_lists):
+        from tdr.text.vocab import encode_queries
+
+        qids, qw = encode_queries(token_lists, self.vocab, self.max_query_terms)
+        return jnp.asarray(qids), jnp.asarray(qw)
+
+    def topk_tokens(self, token_lists, k: int = 10, pad_to=None):
+        n = len(token_lists)
+        if pad_to is not None and n < pad_to:
+            token_lists = list(token_lists) + [[]] * (pad_to - n)
+        qids, qw = self.encode_query_tokens(token_lists)
+        vals, grows = sharded_score_topk(self.mesh, self.sindex, qids, qw,
+                                         top_k=k)
+        rows = global_row_to_doc(self.sindex, np.asarray(grows))
+        return np.asarray(vals)[:n], rows[:n]
+
+    def retrieve_tokens(self, token_lists, k: int = 10):
+        vals, rows = self.topk_tokens(token_lists, k, pad_to=len(token_lists))
+        return [
+            [self.docids[r] for r, v in zip(qr, qv) if np.isfinite(v)]
+            for qr, qv in zip(rows, vals)
+        ]
+
+
 def dp_score_topk(
     mesh: Mesh,
     index: SparseIndex,

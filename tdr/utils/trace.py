@@ -85,6 +85,24 @@ class Tracer:
 
 
 @contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace context for device phases (SURVEY.md §5
+    "Tracing / profiling" — replaces the reference's time.time() prints for
+    on-device work).  View with TensorBoard or xprof."""
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def annotate(name: str):
+    """Named device-trace region (jax.profiler.TraceAnnotation)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
 def phase_timer(name: str, sink: Optional[dict] = None):
     """Minimal standalone timer: ``with phase_timer('build', stats): ...``."""
     t0 = time.perf_counter()

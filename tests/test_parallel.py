@@ -99,3 +99,53 @@ def test_sharded_determinism(world):
     v2, r2 = sharded_score_topk(mesh, sharded, qids, qw, top_k=10)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_sharded_model_in_router(world):
+    """ShardedBM25Model presents the SparseModel surface to the router."""
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.parallel.sharded import ShardedBM25Model
+    from tdr.rank import LanguageRouter
+    from tdr.text import Preprocessor
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=200, n_queries=20, seed=61, ref_proportions=False,
+                      langs=("en",)))
+    pp = Preprocessor("best")
+    toks = [pp(t, "en") for t in corpus.texts]
+    mesh = make_mesh(data=4)
+    model = ShardedBM25Model.build(toks, corpus.docids, mesh, index_cfg=CFG)
+    router = LanguageRouter({"en": model}, query_batch=8)
+    results = router.retrieve(queries.queries, queries.langs, k=10)
+    from tdr.eval import recall_at_k
+
+    assert recall_at_k(results, queries.positive_docs) >= 0.95
+
+
+def test_sharded_index_checkpoint_roundtrip(world, tmp_path):
+    from tdr.ckpt.registry import load_sharded_index, save_sharded_index
+
+    vocab, coo, qids, qw = world
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=4, index_cfg=CFG)
+    mesh = make_mesh(data=4)
+    v1, r1 = sharded_score_topk(mesh, sharded, qids, qw, top_k=10)
+    path = str(tmp_path / "sharded")
+    save_sharded_index(path, sharded)
+    loaded = load_sharded_index(path)
+    v2, r2 = sharded_score_topk(mesh, loaded, qids, qw, top_k=10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_single_device_determinism(world):
+    """Same inputs => bitwise-equal top-k across repeated runs (the
+    determinism check SURVEY.md §5 plans in place of race detection)."""
+    from tdr.index import build_index
+    from tdr.ops import score_and_topk_fused
+
+    vocab, coo, qids, qw = world
+    idx = build_index(*coo, vocab.size, index_cfg=CFG)
+    v1, r1 = score_and_topk_fused(idx, qids, qw, top_k=10)
+    v2, r2 = score_and_topk_fused(idx, qids, qw, top_k=10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
