@@ -80,6 +80,51 @@ def _cmd_eval(args) -> int:
     return 0
 
 
+def _cmd_cascade(args) -> int:
+    """Cosine candidate generation + BM25 re-rank
+    (cosine_similarity_bm25_reranking.py pipeline)."""
+    from tdr.ckpt import load_registry
+    from tdr.data import load_queries
+    from tdr.eval import evaluate_retrieval, write_submission
+    from tdr.rank import CascadeRetriever
+
+    cand = load_registry(args.candidates_index)
+    rank = load_registry(args.rerank_index)
+    queries = load_queries(args.queries)
+    cascade = CascadeRetriever(cand, rank, candidates=args.n_candidates,
+                               query_batch=args.batch)
+    results = cascade.retrieve(queries.queries, queries.langs, k=args.k)
+    if queries.positive_docs:
+        print(json.dumps(evaluate_retrieval(results, queries.positive_docs,
+                                            queries.langs), indent=2))
+    if args.out:
+        write_submission(results, args.out, k=args.k)
+    return 0
+
+
+def _cmd_retrieve_dense(args) -> int:
+    """Dense-embedding retrieval (flat or IVF) from a trained checkpoint."""
+    from tdr.ckpt import load_dense_model
+    from tdr.data import load_queries
+    from tdr.eval import evaluate_retrieval, write_submission
+    from tdr.models.dense import build_ivf_index
+    import numpy as np
+
+    dense = load_dense_model(args.index)
+    if args.ivf and dense.ivf is None:
+        dense.ivf = build_ivf_index(
+            np.asarray(dense.flat.embeddings)[: dense.flat.n_docs],
+            nlist=dense.cfg.ivf_nlist)
+    queries = load_queries(args.queries)
+    results = dense.retrieve(queries.queries, k=args.k, use_ivf=args.ivf)
+    if queries.positive_docs:
+        print(json.dumps(evaluate_retrieval(results, queries.positive_docs,
+                                            queries.langs), indent=2))
+    if args.out:
+        write_submission(results, args.out, k=args.k)
+    return 0
+
+
 def _cmd_train(args) -> int:
     """Train the dense dual-encoder retriever on (query, positive, negatives)
     triples and checkpoint encoder + corpus embedding index."""
@@ -184,6 +229,24 @@ def main(argv=None) -> int:
     e.add_argument("--k", type=int, default=10)
     e.add_argument("--batch", type=int, default=256)
     e.set_defaults(fn=_cmd_eval)
+
+    c = sub.add_parser("cascade", help="cosine candidates -> BM25 re-rank")
+    c.add_argument("--candidates-index", required=True, help="cosine registry")
+    c.add_argument("--rerank-index", required=True, help="bm25 registry")
+    c.add_argument("--queries", required=True)
+    c.add_argument("--out", default=None)
+    c.add_argument("--k", type=int, default=10)
+    c.add_argument("--n-candidates", type=int, default=200)
+    c.add_argument("--batch", type=int, default=128)
+    c.set_defaults(fn=_cmd_cascade)
+
+    rd = sub.add_parser("retrieve-dense", help="dense flat/IVF retrieval")
+    rd.add_argument("--index", required=True, help="dense checkpoint dir")
+    rd.add_argument("--queries", required=True)
+    rd.add_argument("--out", default=None)
+    rd.add_argument("--k", type=int, default=10)
+    rd.add_argument("--ivf", action="store_true")
+    rd.set_defaults(fn=_cmd_retrieve_dense)
 
     t = sub.add_parser("train", help="train the dense dual-encoder retriever")
     t.add_argument("--corpus", required=True)

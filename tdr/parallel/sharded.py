@@ -82,6 +82,34 @@ class ShardedSparseIndex:
         )
 
 
+@partial(jax.jit, static_argnames=("mesh", "vocab_size"))
+def spmd_global_stats(
+    mesh: Mesh,
+    term_ids: jnp.ndarray,      # (S, nnz_pad) int32, padding == vocab_size
+    doc_len: jnp.ndarray,       # (S, N_loc_pad) float32
+    vocab_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Corpus-global (df, total_doc_len) via per-shard segment reductions +
+    `psum` over the mesh "data" axis — the index-build collective pattern
+    (SURVEY.md §2c: "index build as per-shard scan + global psum of
+    DF/avgdl stats").  Host-side computation is equivalent; this path keeps
+    the build on-device for multi-host deployments."""
+
+    def local_fn(ti, dl):
+        valid = ti[0] < vocab_size
+        df_local = jax.ops.segment_sum(
+            valid.astype(jnp.float32), jnp.where(valid, ti[0], 0),
+            num_segments=vocab_size)
+        df = jax.lax.psum(df_local, "data")
+        total = jax.lax.psum(jnp.sum(dl[0]), "data")
+        return df, total
+
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(term_ids, doc_len)
+
+
 def build_sharded_index(
     doc_ids: np.ndarray,
     term_ids: np.ndarray,

@@ -149,3 +149,34 @@ def test_single_device_determinism(world):
     v2, r2 = score_and_topk_fused(idx, qids, qw, top_k=10)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_spmd_global_stats_match_host(world):
+    """psum-reduced per-shard DF/avgdl must equal single-pass host stats."""
+    from tdr.index.build import segment_df
+    from tdr.parallel.sharded import spmd_global_stats
+
+    vocab, coo, _, _ = world
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=4, index_cfg=CFG)
+    mesh = make_mesh(data=4)
+    # rebuild the stacked padded term arrays the shards were built from
+    import jax.numpy as jnp
+
+    # term ids per shard can be recovered from indptr/df? simpler: recompute
+    # from the raw COO with the same split the builder used
+    doc_ids, term_ids, tfs, doc_lens = coo
+    n_docs = len(doc_lens)
+    bounds = np.linspace(0, n_docs, 5).astype(np.int64)
+    shard_of = np.searchsorted(bounds[1:], doc_ids, side="right")
+    nnz_pad = int(max(np.bincount(shard_of, minlength=4).max(), 1))
+    nnz_pad = ((nnz_pad + 63) // 64) * 64
+    ti = np.full((4, nnz_pad), vocab.size, np.int32)
+    for s in range(4):
+        sel = term_ids[shard_of == s]
+        ti[s, :len(sel)] = sel
+    df_spmd, total_spmd = spmd_global_stats(
+        mesh, jnp.asarray(ti), sharded.doc_len, vocab.size)
+    df_host = segment_df(jnp.asarray(
+        np.concatenate([term_ids, np.full(16, vocab.size, np.int32)])), vocab.size)
+    np.testing.assert_allclose(np.asarray(df_spmd), np.asarray(df_host))
+    np.testing.assert_allclose(float(total_spmd), float(doc_lens.sum()))
