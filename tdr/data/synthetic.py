@@ -71,7 +71,10 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
     else:
         props = np.full(len(langs), 1.0 / len(langs))
     counts = np.maximum(1, (props * spec.n_docs).astype(int))
-    counts[0] += spec.n_docs - counts.sum()
+    # absorb the rounding difference into the largest partition; keep every
+    # language at >= 1 doc (tiny corpora may exceed n_docs slightly)
+    counts[int(np.argmax(counts))] += spec.n_docs - counts.sum()
+    counts = np.maximum(counts, 1)
 
     # per-language vocab: common pool (Zipf) + unique signature pool
     vocabs: Dict[str, List[str]] = {}
@@ -92,18 +95,27 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
 
     did = 0
     for lang, cnt in zip(langs, counts):
+        cnt = int(cnt)
         vocab = vocabs[lang]
         n_common = len(vocab) // 2
-        common, rare = vocab[:n_common], vocab[n_common:]
+        common = np.asarray(vocab[:n_common], dtype=object)
+        rare = np.asarray(vocab[n_common:], dtype=object)
         zipf_p = 1.0 / np.arange(1, n_common + 1)
         zipf_p /= zipf_p.sum()
-        for _ in range(int(cnt)):
-            length = max(10, int(rng.normal(spec.doc_len_mean, spec.doc_len_mean / 4)))
-            body = list(rng.choice(common, size=length, p=zipf_p))
-            sig = list(rng.choice(rare, size=spec.signature_terms, replace=False))
-            # sprinkle signature terms through the doc (appear 2-4x each)
-            for s in sig:
-                for _ in range(rng.randint(2, 5)):
+        # vectorized draws for the whole language partition: one big Zipf
+        # pool split into per-doc bodies (the per-doc rng.choice-with-p loop
+        # dominated generation time at bench scale)
+        lengths = np.maximum(
+            10, rng.normal(spec.doc_len_mean, spec.doc_len_mean / 4, cnt).astype(int))
+        pool = rng.choice(len(common), size=int(lengths.sum()), p=zipf_p)
+        sig_idx = rng.randint(0, len(rare), (cnt, spec.signature_terms))
+        sig_reps = rng.randint(2, 5, (cnt, spec.signature_terms))
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        for i in range(cnt):
+            body = list(common[pool[offsets[i]:offsets[i + 1]]])
+            sig = list(dict.fromkeys(rare[sig_idx[i]]))
+            for s, reps in zip(rare[sig_idx[i]], sig_reps[i]):
+                for _ in range(reps):
                     body.insert(rng.randint(0, len(body)), s)
             docids.append(f"doc-{lang}-{did}")
             texts.append(" ".join(body))

@@ -42,7 +42,7 @@ class TestBM25EndToEnd:
         # signature-term queries must be easy for a correct BM25
         assert report["recall@10"] >= 0.95, report
         assert report["recall@1"] >= 0.8, report
-        assert set(report["per_language"]) == set(corpus.langs)
+        assert set(report["per_language"]) == set(queries.langs)
 
     def test_results_in_input_order_and_k_sized(self, small_world, bm25_models):
         _, queries = small_world
@@ -102,8 +102,9 @@ class TestCosineAndCascade:
             lang = queries.langs[qi]
             m = cosine_models[lang if lang in cosine_models else "en"]
             toks = [Preprocessor("best")(queries.queries[qi], lang)]
-            _, cand = m.topk_tokens(toks, 20)
-            cand_ids = {m.docids[r] for r in cand[0]}
+            vals, cand = m.topk_tokens(toks, 20)
+            cand_ids = {m.docids[r] for r, v in zip(cand[0], vals[0])
+                        if np.isfinite(v) and r < len(m.docids)}
             assert set(results[qi]) <= cand_ids
 
 
