@@ -47,6 +47,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket(n: int, multiple: int = 128) -> int:
+    """Round n up onto a {2^k, 1.5·2^k} geometric grid (then to a hardware
+    multiple) — static-shape quantization so jit kernels are shared across
+    corpora (see IndexConfig.shape_bucketing)."""
+    n = max(n, 1)
+    k = max((n - 1).bit_length() - 1, 0)
+    for cand in (1 << k, (3 << k) // 2, 1 << (k + 1), 3 << k):
+        if cand >= n:
+            return _round_up(cand, multiple)
+    return _round_up(n, multiple)
+
+
 # --------------------------------------------------------------------------
 # IDF — all three reference variants (SURVEY.md §2a "IDF computation")
 # --------------------------------------------------------------------------
@@ -266,21 +278,32 @@ def build_index(
     let ``tdr.parallel`` build document shards against corpus-global stats.
     """
     n_docs = int(doc_lens.shape[0])
+    bucketing = index_cfg.shape_bucketing
     if n_docs_pad is None:
         n_docs_pad = max(_round_up(max(n_docs, 1), index_cfg.doc_pad_multiple),
                          index_cfg.doc_pad_multiple)
+        if bucketing:
+            n_docs_pad = _bucket(n_docs_pad, index_cfg.doc_pad_multiple)
     nnz = int(doc_ids.shape[0])
     if nnz_pad is None:
         nnz_pad = max(_round_up(max(nnz, 1), index_cfg.nnz_pad_multiple),
                       index_cfg.nnz_pad_multiple)
+        if bucketing:
+            nnz_pad = _bucket(nnz_pad, index_cfg.nnz_pad_multiple)
+    # vocab axis is also a static dim (indptr, idf, head_slot shapes);
+    # padding terms get df=0 and are unreachable from queries
+    vocab_pad = _bucket(max(vocab_size, 1), 128) if bucketing else vocab_size
 
-    di, ti, tv = _pad_coo(doc_ids, term_ids, tfs, vocab_size, nnz_pad)
+    di, ti, tv = _pad_coo(doc_ids, term_ids, tfs, vocab_pad, nnz_pad)
     dl = np.zeros(n_docs_pad, np.float32)
     dl[:n_docs] = doc_lens
 
     # global statistics (computed locally unless injected by a sharded build)
+    if idf is not None:
+        # injected arrays fix the vocab axis (sharded builds)
+        vocab_pad = int(np.asarray(idf).shape[0])
     if idf is None or head_slot is None:
-        df_g = segment_df(jnp.asarray(ti), vocab_size)
+        df_g = segment_df(jnp.asarray(ti), vocab_pad)
         if idf is None:
             idf = compute_idf(df_g, n_docs, bm25.idf_variant)
         if head_slot is None:
@@ -288,11 +311,13 @@ def build_index(
                 if index_cfg.head_min_df > 0:
                     head_size = int(jnp.sum(df_g >= index_cfg.head_min_df))
                 else:
-                    head_size = _auto_head_size(vocab_size, n_docs_pad, index_cfg)
-            head_size = min(head_size, vocab_size)
+                    head_size = _auto_head_size(vocab_pad, n_docs_pad, index_cfg)
+                if bucketing and head_size > 256:
+                    head_size = (head_size // 256) * 256   # floor: stay in budget
+            head_size = min(head_size, vocab_pad)
             head_slot = select_head(df_g, head_size)
     if head_size is None:
-        head_size = int(jnp.max(head_slot)) + 1 if vocab_size else 0
+        head_size = int(jnp.max(head_slot)) + 1 if vocab_pad else 0
     if avgdl is None:
         avgdl = float(doc_lens.sum() / max(n_docs, 1))
 
@@ -301,7 +326,7 @@ def build_index(
         jnp.asarray(di), jnp.asarray(ti), jnp.asarray(tv), jnp.asarray(dl),
         jnp.asarray(idf, dtype=jnp.float32), jnp.asarray(head_slot),
         jnp.asarray(avgdl, dtype=jnp.float32),
-        vocab_size=vocab_size, n_docs_pad=n_docs_pad,
+        vocab_size=vocab_pad, n_docs_pad=n_docs_pad,
         head_size=head_size, k1=bm25.k1,
         b=bm25.b, dl_scaled_by_b=bm25.dl_scaled_by_b, weight_kind=weight_kind,
     )
@@ -311,8 +336,12 @@ def build_index(
 
     if tail_pmax is None:
         tail_pmax = int(np.asarray(tail_df_max))
-        # static gather width: multiple of 128 lanes, at least 8
-        tail_pmax = max(8, _round_up(max(tail_pmax, 1), 128)) if tail_pmax > 0 else 8
+        if tail_pmax <= 0:
+            tail_pmax = 8
+        elif bucketing:
+            tail_pmax = _bucket(tail_pmax, 8)
+        else:
+            tail_pmax = max(8, _round_up(tail_pmax, 128))
 
     stats = IndexStats(df=df_local, idf=jnp.asarray(idf, dtype=jnp.float32),
                        doc_len=jnp.asarray(dl),
@@ -327,7 +356,7 @@ def build_index(
         stats=stats,
         n_docs=n_docs,
         n_docs_pad=n_docs_pad,
-        vocab_size=vocab_size,
+        vocab_size=vocab_pad,
         tail_pmax=tail_pmax,
         head_size=head_size,
     )

@@ -34,6 +34,7 @@ from tdr.index.build import (
     segment_df,
     select_head,
     _auto_head_size,
+    _bucket,
     _pad_coo,
     _round_up,
 )
@@ -131,6 +132,9 @@ def build_sharded_index(
         _round_up(max(int(n_local.max()) if n_docs else 1, 1), index_cfg.doc_pad_multiple),
         index_cfg.doc_pad_multiple,
     )
+    if index_cfg.shape_bucketing:
+        n_loc_pad = _bucket(n_loc_pad, index_cfg.doc_pad_multiple)
+        vocab_size = _bucket(max(vocab_size, 1), 128)
 
     # ---- corpus-global statistics -----------------------------------------
     nnz = int(doc_ids.shape[0])
@@ -155,13 +159,20 @@ def build_sharded_index(
     slot_np = np.asarray(head_slot)
     tail_df = df_g_np[slot_np < 0]
     tail_pmax = int(tail_df.max()) if tail_df.size else 0
-    tail_pmax = max(8, _round_up(max(tail_pmax, 1), 128)) if tail_pmax > 0 else 8
+    if tail_pmax <= 0:
+        tail_pmax = 8
+    elif index_cfg.shape_bucketing:
+        tail_pmax = _bucket(tail_pmax, 8)
+    else:
+        tail_pmax = max(8, _round_up(tail_pmax, 128))
 
     # ---- per-shard builds --------------------------------------------------
     per_entry_shard = np.searchsorted(bounds[1:], doc_ids, side="right")
     max_local_nnz = int(np.bincount(per_entry_shard, minlength=n_shards).max()) if nnz else 1
     nnz_pad = max(_round_up(max(max_local_nnz, 1), index_cfg.nnz_pad_multiple),
                   index_cfg.nnz_pad_multiple)
+    if index_cfg.shape_bucketing:
+        nnz_pad = _bucket(nnz_pad, index_cfg.nnz_pad_multiple)
 
     shards = []
     for s in range(n_shards):

@@ -66,6 +66,11 @@ class IndexConfig:
     head_dtype: str = "bfloat16"
     doc_pad_multiple: int = 128   # pad doc axis to lane multiples
     nnz_pad_multiple: int = 1024  # pad CSR nnz to static shapes
+    # quantize static dims (vocab, nnz, doc pad, head, tail) onto a coarse
+    # geometric grid so different corpora/languages share compiled kernels
+    # (each unique shape costs a full XLA compile; with remote compilation
+    # that is 30-190s per shape).  Waste bound: <= ~33% padding per dim.
+    shape_bucketing: bool = True
 
 
 @dataclass(frozen=True)

@@ -48,7 +48,8 @@ def test_fused_exact_when_pad_equals_ndocs():
     when n_docs == n_docs_pad (found by the padded-sentinel segment bug)."""
     rng = np.random.RandomState(3)
     vocab, coo, qids, qw = _random_world(rng, n_docs=400)  # 400 % 8 == 0
-    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32),
+    idx = build_index(*coo, vocab.size,
+                      index_cfg=IndexConfig(**F32, shape_bucketing=False),
                       head_size=16)
     assert idx.n_docs == idx.n_docs_pad
     v, d = score_and_topk_fused(idx, qids, qw, top_k=10, tail_budget=1024)
