@@ -28,25 +28,49 @@ from tdr.index.build import SparseIndex
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+_HEAD_CHUNK = 16
+
+
 def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.ndarray:
-    """Accumulate dense head rows: scores (Q, N_pad)."""
+    """Accumulate dense head rows: scores (Q, N_pad).
+
+    Head terms are compacted to the front (cheap T-wide sort), then the
+    weighted row sum runs as a gather-reduce einsum over chunks of
+    ``_HEAD_CHUNK`` terms.  A per-term `lax.scan` would read AND write the
+    (Q, N) f32 carry in HBM on every step — at reference scale (207k docs,
+    T=64) that measured 322 ms per 256-query batch; the chunked einsum does
+    the same reduction in a few fused passes (typical queries have <16
+    active head terms, so only the first chunk carries signal, and XLA's
+    fusion keeps the (Q, C, N) gather out of HBM)."""
     Q, T = qids.shape
     slot = index.head_slot[qids]                      # (Q, T)
-    w_eff = jnp.where((slot >= 0) & (qw > 0), qw, 0.0)
-    slot_c = jnp.maximum(slot, 0)
+    active = (slot >= 0) & (qw > 0)
+    key = (~active).astype(jnp.int32)
+    _, slot_c, w_eff = jax.lax.sort(
+        (key, jnp.maximum(slot, 0), jnp.where(active, qw, 0.0)), num_keys=1)
 
     rows_t = index.head_rows                           # (D, N_pad)
+    C = min(_HEAD_CHUNK, T)
+    n_chunks = (T + C - 1) // C
+    pad = n_chunks * C - T
+    if pad:
+        slot_c = jnp.pad(slot_c, ((0, 0), (0, pad)))
+        w_eff = jnp.pad(w_eff, ((0, 0), (0, pad)))
+    slot_ch = slot_c.reshape(Q, n_chunks, C).transpose(1, 0, 2)   # (K, Q, C)
+    w_ch = w_eff.reshape(Q, n_chunks, C).transpose(1, 0, 2)
 
     def step(scores, xs):
-        s_t, w_t = xs                                  # (Q,), (Q,)
-        gathered = rows_t[s_t]                         # (Q, N_pad)
-        return scores + w_t[:, None] * gathered.astype(jnp.float32), None
+        s, w = xs                                      # (Q, C) each
+        contrib = jnp.einsum(
+            "qc,qcn->qn", w, rows_t[s].astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return scores + contrib, None
 
     # seed the carry from the rows tensor so its varying-axis type matches
     # inside shard_map (a fresh zeros literal would be device-invariant and
     # fail scan's carry typing); the 0-mul folds away in XLA
-    init = jnp.zeros((Q, index.n_docs_pad), jnp.float32) + 0.0 * rows_t[0][None, :]
-    scores, _ = jax.lax.scan(step, init, (slot_c.T, w_eff.T))
+    init = jnp.zeros((Q, index.n_docs_pad), jnp.float32) + 0.0 * rows_t[0][None, :].astype(jnp.float32)
+    scores, _ = jax.lax.scan(step, init, (slot_ch, w_ch))
     return scores
 
 
