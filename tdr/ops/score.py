@@ -31,28 +31,36 @@ NEG_INF = jnp.float32(-jnp.inf)
 _HEAD_CHUNK = 16
 
 
-def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.ndarray:
-    """Accumulate dense head rows: scores (Q, N_pad).
+def _head_scores_capped(
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, max_terms: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Head scores with the term loop capped at ``max_terms``.
 
     Head terms are compacted to the front (cheap T-wide sort), then the
     weighted row sum runs as a gather-reduce einsum over chunks of
     ``_HEAD_CHUNK`` terms.  A per-term `lax.scan` would read AND write the
     (Q, N) f32 carry in HBM on every step — at reference scale (207k docs,
-    T=64) that measured 322 ms per 256-query batch; the chunked einsum does
-    the same reduction in a few fused passes (typical queries have <16
-    active head terms, so only the first chunk carries signal, and XLA's
-    fusion keeps the (Q, C, N) gather out of HBM)."""
+    T=64) that measured 322 ms per 256-query batch; queries average only a
+    handful of active head terms, so a capped single-chunk einsum does the
+    whole reduction in one fused pass.  Returns (scores, overflow) where
+    overflow flags queries with more active head terms than the cap (the
+    caller re-scores those exactly)."""
     Q, T = qids.shape
     slot = index.head_slot[qids]                      # (Q, T)
     active = (slot >= 0) & (qw > 0)
     key = (~active).astype(jnp.int32)
     _, slot_c, w_eff = jax.lax.sort(
         (key, jnp.maximum(slot, 0), jnp.where(active, qw, 0.0)), num_keys=1)
+    n_active = jnp.sum(active, axis=1)
+    TH = min(max_terms, T)
+    overflow = n_active > TH
+    slot_c = slot_c[:, :TH]
+    w_eff = w_eff[:, :TH]
 
     rows_t = index.head_rows                           # (D, N_pad)
-    C = min(_HEAD_CHUNK, T)
-    n_chunks = (T + C - 1) // C
-    pad = n_chunks * C - T
+    C = min(_HEAD_CHUNK, TH)
+    n_chunks = (TH + C - 1) // C
+    pad = n_chunks * C - TH
     if pad:
         slot_c = jnp.pad(slot_c, ((0, 0), (0, pad)))
         w_eff = jnp.pad(w_eff, ((0, 0), (0, pad)))
@@ -71,6 +79,12 @@ def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.
     # fail scan's carry typing); the 0-mul folds away in XLA
     init = jnp.zeros((Q, index.n_docs_pad), jnp.float32) + 0.0 * rows_t[0][None, :].astype(jnp.float32)
     scores, _ = jax.lax.scan(step, init, (slot_ch, w_ch))
+    return scores, overflow
+
+
+def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.ndarray:
+    """Exact head scores (no term cap): scores (Q, N_pad)."""
+    scores, _ = _head_scores_capped(index, qids, qw, qids.shape[1])
     return scores
 
 
@@ -219,16 +233,16 @@ def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
     return docs, vals, active, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget", "max_head_terms"))
 def _fused_topk_core(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
-    tail_budget: int,
+    tail_budget: int, max_head_terms: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     qids = jnp.clip(qids, 0, index.vocab_size - 1)
     Q = qids.shape[0]
 
-    # 1) head scores + head-only top-k
-    head = _head_scores(index, qids, qw)                       # (Q, N_pad)
+    # 1) head scores (term-capped; overflow re-scored by the wrapper)
+    head, head_ovf = _head_scores_capped(index, qids, qw, max_head_terms)
     head = mask_invalid_docs(head, index.n_docs)
     k = min(top_k, index.n_docs_pad)
     hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
@@ -281,7 +295,7 @@ def _fused_topk_core(
         pad = top_k - k
         vals_out = jnp.pad(vals_out, ((0, 0), (0, pad)), constant_values=-jnp.inf)
         docs_out = jnp.pad(docs_out, ((0, 0), (0, pad)))
-    return vals_out, docs_out, overflow
+    return vals_out, docs_out, overflow | head_ovf
 
 
 def score_and_topk_fused(
