@@ -68,20 +68,6 @@ class ShardedSparseIndex:
     tail_pmax: int = dataclasses.field(metadata=dict(static=True), default=0)
     head_size: int = dataclasses.field(metadata=dict(static=True), default=0)
 
-    def local_index(self, arrays: Tuple[jnp.ndarray, ...]) -> SparseIndex:
-        """Assemble a single-shard SparseIndex view from sliced arrays."""
-        (indptr, pdoc, pw, ptf, head_rows, df_local, doc_len) = arrays
-        stats = IndexStats(df=df_local, idf=self.idf, doc_len=doc_len,
-                           avgdl=self.avgdl)
-        return SparseIndex(
-            indptr=indptr, postings_doc=pdoc, postings_w=pw, postings_tf=ptf,
-            head_slot=self.head_slot, head_rows=head_rows, stats=stats,
-            n_docs=self.n_docs_pad_local,   # validity handled via n_valid mask
-            n_docs_pad=self.n_docs_pad_local,
-            vocab_size=self.vocab_size, tail_pmax=self.tail_pmax,
-            head_size=self.head_size,
-        )
-
 
 @partial(jax.jit, static_argnames=("mesh", "vocab_size"))
 def spmd_global_stats(

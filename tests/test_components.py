@@ -185,3 +185,27 @@ class TestLanguageFilteredTopk:
         vals, idx = topk_language_filtered(scores, doc_langs,
                                            jnp.asarray([1]), top_k=2)
         assert np.asarray(idx)[0].tolist() == [1, 3]
+
+
+class TestSingleIndexRetriever:
+    def test_language_filter_end_to_end(self):
+        from tdr.data import synthetic_corpus, SyntheticSpec
+        from tdr.rank import SingleIndexRetriever
+
+        corpus, queries = synthetic_corpus(SyntheticSpec(n_docs=300, n_queries=40, seed=71))
+        r = SingleIndexRetriever.build(corpus, index_cfg=CFG)
+        results = r.retrieve(queries.queries, queries.langs, k=10)
+        # every result must be in the query's language
+        lang_of = dict(zip(corpus.docids, corpus.langs))
+        for res, lang in zip(results, queries.langs):
+            assert all(lang_of[d] == lang for d in res)
+        assert recall_at_k(results, queries.positive_docs) >= 0.9
+
+    def test_unknown_lang_gets_nothing(self):
+        from tdr.data import synthetic_corpus, SyntheticSpec
+        from tdr.rank import SingleIndexRetriever
+
+        corpus, _ = synthetic_corpus(SyntheticSpec(n_docs=100, n_queries=5, seed=72))
+        r = SingleIndexRetriever.build(corpus, index_cfg=CFG)
+        out = r.retrieve(["some query"], ["zz"], k=5)
+        assert out[0] == []
