@@ -133,7 +133,7 @@ def _cmd_train(args) -> int:
     from tdr.models.dense import DenseModel
     from tdr.parallel import make_mesh
     from tdr.train import train_dense_retriever
-    from tdr.utils.config import DenseConfig, TdrConfig
+    from tdr.utils.config import TdrConfig
     from tdr.utils.trace import log
 
     import jax

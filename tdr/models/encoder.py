@@ -18,7 +18,7 @@ bfloat16 compute / float32 params+reductions — MXU-friendly.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -8,22 +8,16 @@ final_implementation.py:320-330).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from tdr.index.build import SparseIndex, build_index, build_tfidf_index
-from tdr.ops.score import (
-    score_and_topk,
-    score_and_topk_fused,
-    score_batch,
-    score_pairs,
-)
-from tdr.text.preprocess import Preprocessor
+from tdr.ops.score import score_and_topk, score_and_topk_fused, score_pairs
 from tdr.text.vocab import Vocab, build_vocab, encode_docs, encode_queries
-from tdr.utils.config import BM25Config, IndexConfig, RetrievalConfig
+from tdr.utils.config import BM25Config, IndexConfig
 
 
 @dataclass

@@ -26,7 +26,6 @@ should instead be doc-sharded across the mesh).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

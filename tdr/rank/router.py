@@ -9,14 +9,14 @@ groupby("lang"); SURVEY.md §2c "Model partitioning by language").
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence, Tuple, Type
+from typing import Dict, List, Optional, Sequence, Tuple, Type
 
 import numpy as np
 
 from tdr.data.loaders import Corpus
-from tdr.models.sparse import BM25Model, SparseModel, TfidfCosineModel
+from tdr.models.sparse import BM25Model, SparseModel
 from tdr.text.preprocess import Preprocessor
-from tdr.utils.config import BM25Config, IndexConfig, RetrievalConfig
+from tdr.utils.config import BM25Config, IndexConfig
 from tdr.utils.trace import Tracer, log
 
 

@@ -11,7 +11,7 @@ NLTK's pure-code Snowball stemmers, exactly like the reference.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Callable, Dict
+from typing import Callable
 
 from nltk.stem.snowball import SnowballStemmer
 from nltk.stem.porter import PorterStemmer

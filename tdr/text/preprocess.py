@@ -27,9 +27,8 @@ from __future__ import annotations
 
 import re
 import string
-import unicodedata
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence
 
 from tdr.text.ko import tokenize_korean
 from tdr.text.lemmatize import normalizer_for
