@@ -209,3 +209,20 @@ class TestSingleIndexRetriever:
         r = SingleIndexRetriever.build(corpus, index_cfg=CFG)
         out = r.retrieve(["some query"], ["zz"], k=5)
         assert out[0] == []
+
+
+class TestSentenceCascadeMultilingual:
+    def test_ko_ar_sentence_retrieval(self):
+        """Sentence-level BM25 works for non-latin scripts too."""
+        docs_ko = ["고양이가 집에서 잠을 잔다. 강아지가 마당에서 뛴다.",
+                   "양자 컴퓨터가 계산을 한다. 레이저가 원자를 식힌다."]
+        sb = SentenceBM25.build(["k1", "k2"], docs_ko, "ko", index_cfg=CFG)
+        pp = Preprocessor("best")
+        _, sids = sb.top_sentences([pp("양자 컴퓨터 계산", "ko")], k=2)
+        assert get_original_docid(sids[0][0]) == "k2"
+
+        docs_ar = ["القط ينام في البيت. الكلب يجري في الحديقة.",
+                   "الحاسوب الكمي يحسب بسرعة. الليزر يبرد الذرات."]
+        sb2 = SentenceBM25.build(["a1", "a2"], docs_ar, "ar", index_cfg=CFG)
+        _, sids2 = sb2.top_sentences([pp("الحاسوب الكمي", "ar")], k=2)
+        assert get_original_docid(sids2[0][0]) == "a2"
