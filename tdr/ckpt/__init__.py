@@ -5,6 +5,8 @@ from tdr.ckpt.registry import (
     load_sparse_model,
     save_dense_model,
     load_dense_model,
+    save_train_state,
+    load_train_state,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "load_sparse_model",
     "save_dense_model",
     "load_dense_model",
+    "save_train_state",
+    "load_train_state",
 ]

@@ -224,6 +224,44 @@ def load_sharded_index(path: str):
 
 
 # --------------------------------------------------------------------------
+# training state (params + optimizer moments + step) for resume
+# --------------------------------------------------------------------------
+
+def save_train_state(path: str, state) -> None:
+    """Checkpoint a tdr.train.TrainState (params, opt_state, step)."""
+    os.makedirs(path, exist_ok=True)
+    flat, _ = jax.tree_util.tree_flatten(state)
+    arrays, dtypes = {}, {}
+    for i, leaf in enumerate(flat):
+        arrays[f"l{i}"], dtypes[f"l{i}"] = _to_numpy_savable(jnp.asarray(leaf))
+    np.savez(os.path.join(path, "train_state.npz"), **arrays)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"format_version": FORMAT_VERSION, "n_leaves": len(flat),
+                   "dtypes": dtypes}, f)
+
+
+def load_train_state(path: str, template):
+    """Restore into the structure of ``template`` (a freshly-created
+    TrainState from create_train_state with the same config)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "train_state.npz"))
+    flat_t, treedef = jax.tree_util.tree_flatten(template)
+    if meta["n_leaves"] != len(flat_t):
+        raise ValueError(
+            f"train state has {meta['n_leaves']} leaves, template has "
+            f"{len(flat_t)} — config mismatch")
+    flat = [_from_numpy_saved(data[f"l{i}"], meta["dtypes"][f"l{i}"])
+            for i in range(meta["n_leaves"])]
+    for i, (saved, tmpl) in enumerate(zip(flat, flat_t)):
+        if tuple(saved.shape) != tuple(jnp.shape(tmpl)):
+            raise ValueError(
+                f"train state leaf {i} has shape {tuple(saved.shape)}, "
+                f"template expects {tuple(jnp.shape(tmpl))} — config mismatch")
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+# --------------------------------------------------------------------------
 # dense model (encoder params + embedding index)
 # --------------------------------------------------------------------------
 

@@ -132,3 +132,58 @@ class TestCli:
         with open(bad, "w") as f:
             f.write("id,docids\n0,\"['a']\"\n")
         assert main(["validate", "--submission", bad]) == 1
+
+
+class TestTrainStateRoundtrip:
+    def test_training_resumes_identically(self, tmp_path, world):
+        """Train 2 steps, checkpoint, train 2 more; vs 4 straight steps —
+        metrics must match exactly (optimizer moments restored)."""
+        import jax.numpy as jnp
+        from tdr.ckpt import load_train_state, save_train_state
+        from tdr.text.hash_tokenizer import encode_batch
+        from tdr.train import create_train_state, make_train_step
+        from tdr.utils.config import DenseConfig
+
+        cfg = DenseConfig(vocab_size=800, dim=32, depth=1, heads=2, max_len=16)
+        B = 8
+        ids, mask = encode_batch([f"query {i}" for i in range(B)], cfg.vocab_size, cfg.max_len)
+        pids, pmask = encode_batch([f"doc {i}" for i in range(B)], cfg.vocab_size, cfg.max_len)
+        batch = {"q_ids": jnp.asarray(ids), "q_mask": jnp.asarray(mask),
+                 "p_ids": jnp.asarray(pids), "p_mask": jnp.asarray(pmask)}
+
+        def run(n, state, step_fn):
+            m = None
+            for _ in range(n):
+                state, m = step_fn(state, batch)
+            return state, m
+
+        model, s0, tx = create_train_state(cfg, lr=1e-3, seed=7)
+        step_fn = make_train_step(model, tx)
+        s_straight, m_straight = run(4, s0, step_fn)
+
+        model2, s1, tx2 = create_train_state(cfg, lr=1e-3, seed=7)
+        step_fn2 = make_train_step(model2, tx2)
+        s_half, _ = run(2, s1, step_fn2)
+        path = str(tmp_path / "ts")
+        save_train_state(path, s_half)
+
+        model3, template, tx3 = create_train_state(cfg, lr=1e-3, seed=7)
+        restored = load_train_state(path, template)
+        assert int(restored.step) == 2
+        step_fn3 = make_train_step(model3, tx3)
+        s_resumed, m_resumed = run(2, restored, step_fn3)
+        assert float(m_resumed["loss"]) == pytest.approx(
+            float(m_straight["loss"]), rel=1e-5)
+        assert int(s_resumed.step) == int(s_straight.step) == 4
+
+    def test_config_mismatch_rejected(self, tmp_path):
+        from tdr.ckpt import load_train_state, save_train_state
+        from tdr.train import create_train_state
+        from tdr.utils.config import DenseConfig
+
+        _, s, _ = create_train_state(DenseConfig(vocab_size=800, dim=32, depth=1, heads=2, max_len=16))
+        path = str(tmp_path / "ts2")
+        save_train_state(path, s)
+        _, other, _ = create_train_state(DenseConfig(vocab_size=800, dim=32, depth=2, heads=2, max_len=16))
+        with pytest.raises(ValueError, match="mismatch"):
+            load_train_state(path, other)
