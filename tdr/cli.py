@@ -53,7 +53,7 @@ def _cmd_retrieve(args) -> int:
     queries = load_queries(args.queries)
     router = LanguageRouter(models, query_batch=args.batch)
     results = router.retrieve(queries.queries, queries.langs, k=args.k)
-    write_submission(results, args.out, ids=None, k=args.k)
+    write_submission(results, args.out, ids=queries.query_ids, k=args.k)
     problems = validate_submission(args.out, expect_k=args.k)
     if problems:
         log.warning("submission validation problems: %s", problems[:5])
@@ -98,7 +98,7 @@ def _cmd_cascade(args) -> int:
         print(json.dumps(evaluate_retrieval(results, queries.positive_docs,
                                             queries.langs), indent=2))
     if args.out:
-        write_submission(results, args.out, k=args.k)
+        write_submission(results, args.out, ids=queries.query_ids, k=args.k)
     return 0
 
 
@@ -121,7 +121,7 @@ def _cmd_retrieve_dense(args) -> int:
         print(json.dumps(evaluate_retrieval(results, queries.positive_docs,
                                             queries.langs), indent=2))
     if args.out:
-        write_submission(results, args.out, k=args.k)
+        write_submission(results, args.out, ids=queries.query_ids, k=args.k)
     return 0
 
 
@@ -194,8 +194,9 @@ def _cmd_synth(args) -> int:
         w.writerow(["query_id", "query", "positive_docs", "negative_docs", "lang"])
         for qid, q, p, l in zip(queries.query_ids, queries.queries,
                                 queries.positive_docs, queries.langs):
-            negs = [corpus.docids[i] for i in rng.choice(len(corpus.docids), 2)
-                    if corpus.docids[i] != p][:2]
+            pool = [d for d in corpus.docids if d != p]
+            negs = [pool[i] for i in rng.choice(len(pool), size=min(2, len(pool)),
+                                                replace=False)]
             w.writerow([qid, q, p, str(negs), l])
     print(f"wrote {args.out}/corpus.json ({args.docs} docs), dev.csv and "
           f"train.csv ({args.queries} queries)")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
+import zlib
+
 import numpy as np
 
 from tdr.data.loaders import Corpus, QuerySet
@@ -80,7 +82,8 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
     vocabs: Dict[str, List[str]] = {}
     for lang in langs:
         seen, words = set(), []
-        wrng = np.random.RandomState(hash((spec.seed, lang)) % (2**31))
+        wrng = np.random.RandomState(
+            (spec.seed * 1000003 + zlib.crc32(lang.encode())) % (2**31))
         while len(words) < spec.vocab_per_lang:
             w = _make_word(wrng, lang)
             if w not in seen:

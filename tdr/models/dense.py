@@ -37,6 +37,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_target(n: int, batch: int) -> int:
+    """Pad encoder batches to a power of two (min 32, capped at ``batch``) so
+    tiny inputs don't pay a full-batch transformer forward while compile
+    shapes stay bounded to {32, 64, ..., batch}."""
+    t = 32
+    while t < n:
+        t <<= 1
+    return min(max(t, 32), max(batch, 32))
+
+
 # --------------------------------------------------------------------------
 # Brute-force flat index
 # --------------------------------------------------------------------------
@@ -194,8 +204,9 @@ class DenseModel:
         for s in range(0, len(texts), batch):
             chunk = list(texts[s:s + batch])
             n = len(chunk)
-            if n < batch:
-                chunk += [""] * (batch - n)
+            target = _pad_target(n, batch)
+            if n < target:
+                chunk += [""] * (target - n)
             ids, mask = encode_batch(chunk, cfg.vocab_size, cfg.max_len)
             e = encode(model, params, jnp.asarray(ids), jnp.asarray(mask))
             embs.append(np.asarray(e)[:n])
@@ -213,8 +224,9 @@ class DenseModel:
         for s in range(0, len(texts), batch):
             chunk = list(texts[s:s + batch])
             n = len(chunk)
-            if n < batch:
-                chunk += [""] * (batch - n)
+            target = _pad_target(n, batch)
+            if n < target:
+                chunk += [""] * (target - n)
             ids, mask = encode_batch(chunk, self.cfg.vocab_size, self.cfg.max_len)
             e = encode(self.model, self.params, jnp.asarray(ids), jnp.asarray(mask))
             embs.append(np.asarray(e)[:n])

@@ -159,6 +159,7 @@ class LanguageRouter:
                 vals, rows = model.topk_tokens(toks[s : s + self.query_batch], k,
                                                pad_to=self.query_batch)
                 for j, (v, rr) in zip(sel, zip(vals, rows)):
-                    docid_out[j] = [model.docids[r] for r in rr]
+                    docid_out[j] = [model.docids[r] for r, vv in zip(rr, v)
+                                    if np.isfinite(vv)]
                     score_out[j] = v
         return [r if r is not None else [] for r in docid_out], score_out

@@ -156,16 +156,17 @@ class SentenceLmCascade:
             _, sent_ids = smodel.top_sentences(toks, self.bm25_candidates)
             # map sentence ids back to their text rows for encoding
             sid_to_row = {s: r for r, s in enumerate(smodel.model.docids)}
+            # one batched encoder forward for ALL of the group's queries
+            q_embs = self.dense.encode_queries([queries[i] for i in q_idx])
             for j, qi in enumerate(q_idx):
                 cand_sids = sent_ids[j]
                 if not cand_sids:
                     results[qi] = []
                     continue
                 # dense re-rank: cosine between query and candidate sentences
-                q_emb = self.dense.encode_queries([queries[qi]])            # (1, D)
                 s_texts = [smodel.texts[sid_to_row[s]] for s in cand_sids]
                 s_emb = self.dense.encode_queries(s_texts)                  # (M, D)
-                sims = (s_emb @ q_emb[0])
+                sims = (s_emb @ q_embs[j])
                 order = np.argsort(-sims, kind="stable")
                 # dedupe sentences → docs, keep first (best) per doc
                 docs: List[str] = []

@@ -112,22 +112,29 @@ def param_shardings(mesh: Mesh, params) -> Any:
 
 
 def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
-    """Lay out params/opt_state over the mesh per their partitioning."""
+    """Lay out params/opt_state over the mesh per their partitioning.
+
+    Optimizer moments mirror the param tree, so param-shaped opt leaves
+    (adam m/v) get the SAME shardings as their params — replicating them
+    would forfeit the tensor-parallel memory saving (moments are 2x the
+    param bytes).  Scalar/step leaves replicate."""
     p_sh = param_shardings(mesh, state.params)
     params = jax.device_put(state.params, p_sh)
 
-    def put_opt(x):
-        # moments mirror the param tree; scalars replicate
-        return jax.device_put(x, NamedSharding(mesh, P()))
+    # shape -> sharding lookup from the param tree
+    shard_by_shape = {}
+    for leaf, sh in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(
+                            p_sh, is_leaf=lambda x: isinstance(x, NamedSharding))):
+        shard_by_shape[tuple(jnp.shape(leaf))] = sh
 
-    # optax state: tree-map leaves; param-shaped leaves get param shardings
-    flat_p, treedef_p = jax.tree_util.tree_flatten(params)
+    def put_opt(leaf):
+        sh = shard_by_shape.get(tuple(jnp.shape(leaf)))
+        return jax.device_put(leaf, sh or NamedSharding(mesh, P()))
 
-    def match_opt(leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
-
-    opt_state = jax.tree.map(match_opt, state.opt_state)
-    return TrainState(params, opt_state, jax.device_put(state.step, NamedSharding(mesh, P())))
+    opt_state = jax.tree.map(put_opt, state.opt_state)
+    return TrainState(params, opt_state,
+                      jax.device_put(state.step, NamedSharding(mesh, P())))
 
 
 def batch_shardings(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, NamedSharding]:
@@ -194,6 +201,7 @@ def train_dense_retriever(
     by_id = dict(zip(corpus.docids, corpus.texts))
     last: Dict[str, float] = {}
     for ep in range(epochs):
+        metrics = None
         for batch in make_batches(train_queries, by_id, cfg, batch_size, n_neg,
                                   seed=seed + ep):
             if mesh is not None:
@@ -201,6 +209,12 @@ def train_dense_retriever(
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch)
+        if metrics is None:
+            log.warning(
+                "epoch %d: no full batch of usable (query, positive) pairs — "
+                "need >= batch_size (%d) queries whose positives are in the "
+                "corpus", ep, batch_size)
+            break
         last = {k: float(v) for k, v in metrics.items()}
         log.info("epoch %d: %s", ep, last)
     return model, state, last
