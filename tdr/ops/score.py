@@ -149,6 +149,19 @@ def topk_language_filtered(
     return jax.lax.top_k(jnp.where(mask, scores, NEG_INF), top_k)
 
 
+def _scatter_topk(
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    scores = mask_invalid_docs(score_batch_raw(index, qids, qw), index.n_docs)
+    k_eff = min(top_k, index.n_docs_pad)
+    vals, idx = jax.lax.top_k(scores, k_eff)
+    if k_eff < top_k:
+        pad = top_k - k_eff
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    return vals, idx
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def score_and_topk(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10
@@ -158,14 +171,7 @@ def score_and_topk(
     When top_k exceeds the padded doc count the result is padded with
     (-inf, 0) entries so output shapes stay static for the caller.
     """
-    scores = score_batch(index, qids, qw)
-    k_eff = min(top_k, index.n_docs_pad)
-    vals, idx = jax.lax.top_k(scores, k_eff)
-    if k_eff < top_k:
-        pad = top_k - k_eff
-        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-        idx = jnp.pad(idx, ((0, 0), (0, pad)))
-    return vals, idx
+    return _scatter_topk(index, qids, qw, top_k)
 
 
 def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
@@ -298,6 +304,7 @@ def _fused_topk_core(
     return vals_out, docs_out, overflow | head_ovf
 
 
+@partial(jax.jit, static_argnames=("top_k", "tail_budget"))
 def score_and_topk_fused(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10,
     tail_budget: int = 2048,
@@ -312,18 +319,25 @@ def score_and_topk_fused(
     cumsum, and merged with the head top-k via a top-2k + dedupe that is
     provably exact (see _fused_topk_core).
 
-    Queries whose tail postings exceed the budget (rare: many rare terms in
-    one query) fall back to the exact scatter path.
+    Queries that exceed the head-term cap or tail budget (rare: many terms
+    in one query) are re-scored by the exact scatter path — inside a
+    `lax.cond`, so the common no-overflow case pays neither the scatter
+    compute nor a host round-trip for the overflow flag.
     """
-    import numpy as np
-
     vals, docs, overflow = _fused_topk_core(index, qids, qw, top_k, tail_budget)
-    if bool(jnp.any(overflow)):
-        ov = np.asarray(overflow)
-        sv, sd = score_and_topk(index, qids, qw, top_k=top_k)
-        vals = jnp.where(jnp.asarray(ov)[:, None], sv, vals)
-        docs = jnp.where(jnp.asarray(ov)[:, None], sd, docs)
-    return vals, docs
+
+    def fallback(args):
+        vals, docs, overflow = args
+        sv, sd = _scatter_topk(index, qids, qw, top_k)
+        return (jnp.where(overflow[:, None], sv, vals),
+                jnp.where(overflow[:, None], sd, docs))
+
+    def keep(args):
+        vals, docs, _ = args
+        return vals, docs
+
+    return jax.lax.cond(jnp.any(overflow), fallback, keep,
+                        (vals, docs, overflow))
 
 
 @jax.jit
