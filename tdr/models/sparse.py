@@ -57,6 +57,15 @@ class SparseModel:
         ``pad_to`` pads the query axis to a fixed batch size so jit
         specializes on one shape (ragged final chunks would otherwise
         trigger a recompile per distinct batch size)."""
+        vals, rows, n = self.topk_tokens_async(token_lists, k, pad_to)
+        return np.asarray(vals)[:n], np.asarray(rows)[:n]
+
+    def topk_tokens_async(self, token_lists, k: int = 10,
+                          pad_to: Optional[int] = None):
+        """Dispatch scoring without blocking: returns device arrays
+        (vals, rows) plus the real query count.  Callers that queue many
+        batches before converting to numpy overlap host encoding with
+        device compute (jax dispatch is async)."""
         n = len(token_lists)
         if pad_to is not None and n < pad_to:
             token_lists = list(token_lists) + [[]] * (pad_to - n)
@@ -66,7 +75,7 @@ class SparseModel:
                                               tail_budget=self.tail_budget)
         else:
             vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
-        return np.asarray(vals)[:n], np.asarray(rows)[:n]
+        return vals, rows, n
 
     def retrieve_tokens(
         self, token_lists: Sequence[Sequence[str]], k: int = 10

@@ -131,18 +131,33 @@ class LanguageRouter:
         """Top-k docids per query, in input order.  ``langs=None`` (or
         unknown codes) routes by detected language."""
         results: List[Optional[List[str]]] = [None] * len(queries)
+        # phase 1: dispatch every batch asynchronously — jax queues device
+        # work while the host keeps tokenizing/encoding the next chunks
+        # (batch sizes follow final_implementation.ipynb:470-506; every
+        # chunk is padded to query_batch so jit sees ONE query shape)
+        pending = []
         for lang, q_idx in self._group(langs, queries).items():
             model = self.models[lang]
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
-            # batch to bound device memory (final_implementation.ipynb:470-506
-            # batches 100/200; here a single configurable batch size); every
-            # chunk is padded to query_batch so jit sees ONE query shape
             for s in range(0, len(q_idx), self.query_batch):
                 chunk = toks[s : s + self.query_batch]
-                vals, rows = model.topk_tokens(chunk, k, pad_to=self.query_batch)
-                for j, (v, rr) in zip(q_idx[s : s + self.query_batch], zip(vals, rows)):
-                    results[j] = [model.docids[r] for r, vv in zip(rr, v)
-                                  if np.isfinite(vv)]
+                hasattr_async = hasattr(model, "topk_tokens_async")
+                if hasattr_async:
+                    vals, rows, n = model.topk_tokens_async(
+                        chunk, k, pad_to=self.query_batch)
+                else:
+                    vals, rows = model.topk_tokens(chunk, k,
+                                                   pad_to=self.query_batch)
+                    n = len(chunk)
+                pending.append((model, q_idx[s : s + self.query_batch],
+                                vals, rows, n))
+        # phase 2: block once per batch, in dispatch order
+        for model, sel, vals, rows, n in pending:
+            vals = np.asarray(vals)[:n]
+            rows = np.asarray(rows)[:n]
+            for j, (v, rr) in zip(sel, zip(vals, rows)):
+                results[j] = [model.docids[r] for r, vv in zip(rr, v)
+                              if np.isfinite(vv)]
         return [r if r is not None else [] for r in results]
 
     def retrieve_with_scores(
