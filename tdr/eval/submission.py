@@ -14,10 +14,21 @@ from typing import List, Sequence
 
 
 def write_submission(
-    retrieved: Sequence[Sequence[str]], path: str, ids: Sequence[str] = None, k: int = 10
+    retrieved: Sequence[Sequence[str]], path: str, ids: Sequence[str] = None,
+    k: int = 10, wide: bool = False,
 ) -> None:
+    """``wide=False``: id + python-list docids column (the winning format);
+    ``wide=True``: one doc_1..doc_k column per rank (the ANN pipeline's
+    variant, faiss_based_ANN_Implementation.py:292-295)."""
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
+        if wide:
+            w.writerow(["id"] + [f"doc_{j + 1}" for j in range(k)])
+            for i, docs in enumerate(retrieved):
+                qid = ids[i] if ids is not None else i
+                row = list(docs[:k]) + [""] * (k - len(docs[:k]))
+                w.writerow([qid] + row)
+            return
         w.writerow(["id", "docids"])
         for i, docs in enumerate(retrieved):
             qid = ids[i] if ids is not None else i

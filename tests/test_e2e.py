@@ -133,3 +133,13 @@ class TestMetrics:
         assert any("expected 10" in p for p in probs)
         assert any("duplicate id" in p for p in probs)
         assert any("duplicate docids" in p for p in probs)
+
+    def test_wide_submission_format(self, tmp_path):
+        path = str(tmp_path / "wide.csv")
+        retrieved = [[f"d{i}-{j}" for j in range(10)] for i in range(3)]
+        write_submission(retrieved, path, wide=True)
+        import csv as _csv
+
+        rows = list(_csv.reader(open(path)))
+        assert rows[0] == ["id"] + [f"doc_{j+1}" for j in range(10)]
+        assert rows[1][1] == "d0-0" and rows[1][10] == "d0-9"
