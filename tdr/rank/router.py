@@ -58,7 +58,19 @@ def build_language_models(
         fast = fast_available()
 
     models: Dict[str, SparseModel] = {}
+    n_total = max(len(corpus.langs), 1)
+    import dataclasses as _dc
+
     for lang, rows in sorted(by_lang.items()):
+        # head_budget_bytes is the TOTAL dense-head budget for the corpus;
+        # each language gets its document share (a tiny language otherwise
+        # builds a head as large as the dominant one, and with 7 resident
+        # indexes the sum can exceed HBM — measured as a 20x end-to-end
+        # slowdown from memory churn at reference fidelity)
+        lang_cfg = _dc.replace(
+            index_cfg,
+            head_budget_bytes=max(index_cfg.head_budget_bytes * len(rows) // n_total,
+                                  64 << 20))
         if resume_dir is not None:
             import os
 
@@ -71,7 +83,7 @@ def build_language_models(
                 continue
         with tracer.span(f"build:{lang}", n_docs=len(rows)):
             docids = [corpus.docids[i] for i in rows]
-            kwargs = dict(lang=lang, index_cfg=index_cfg,
+            kwargs = dict(lang=lang, index_cfg=lang_cfg,
                           max_query_terms=max_query_terms, head_size=head_size)
             if model_cls is BM25Model:
                 kwargs["bm25"] = bm25
@@ -80,7 +92,7 @@ def build_language_models(
 
                 texts = [corpus.texts[i] for i in rows]
                 vocab, *coo = fast_encode_corpus(
-                    texts, [lang] * len(rows), min_df=index_cfg.min_df)
+                    texts, [lang] * len(rows), min_df=lang_cfg.min_df)
                 models[lang] = model_cls.from_coo(vocab, tuple(coo), docids,
                                                   **kwargs)
             else:
