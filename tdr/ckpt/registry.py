@@ -128,7 +128,7 @@ def load_sparse_model(path: str) -> SparseModel:
                   pair_to_id=pair_to_id)
 
     with open(os.path.join(path, "docids.txt")) as f:
-        docids = f.read().split("\n")
+        docids = f.read().splitlines()
 
     cls = _MODEL_TYPES[meta["model_type"]]
     return cls(vocab=vocab, index=index, docids=docids, lang=meta["lang"],
@@ -309,6 +309,6 @@ def load_dense_model(path: str):
         embeddings=_from_numpy_saved(idx_data["embeddings"], meta["emb_dtype"]),
         n_docs=meta["n_docs"])
     with open(os.path.join(path, "docids.txt")) as f:
-        docids = f.read().split("\n")
+        docids = f.read().splitlines()
     return DenseModel(model=model, params=params, cfg=cfg, docids=docids,
                       flat=flat_index)

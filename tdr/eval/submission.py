@@ -36,13 +36,37 @@ def write_submission(
 
 
 def validate_submission(path: str, expect_k: int = 10) -> List[str]:
-    """Returns a list of problems (empty = valid)."""
+    """Returns a list of problems (empty = valid).
+
+    Understands both output formats of :func:`write_submission`: the
+    list-literal ``id,docids`` format and the wide ``id,doc_1..doc_k``
+    format."""
     problems: List[str] = []
     seen = set()
     with open(path) as f:
         reader = csv.reader(f)
         header = next(reader, None)
-        if header is None or [h.strip() for h in header[:2]] != ["id", "docids"]:
+        hs = [h.strip() for h in header] if header else []
+        if (len(hs) > 1 and hs[0] == "id"
+                and all(h == f"doc_{j + 1}" for j, h in enumerate(hs[1:]))):
+            # wide format
+            if len(hs) - 1 != expect_k:
+                problems.append(
+                    f"bad header: expected {expect_k} doc_* columns, got {len(hs) - 1}")
+            for row_num, row in enumerate(reader, start=2):
+                if len(row) != len(hs):
+                    problems.append(f"row {row_num}: expected {len(hs)} columns, got {len(row)}")
+                    continue
+                qid, docids = row[0], [d for d in row[1:] if d != ""]
+                if qid in seen:
+                    problems.append(f"row {row_num}: duplicate id {qid!r}")
+                seen.add(qid)
+                if len(docids) != expect_k:
+                    problems.append(f"row {row_num}: expected {expect_k} docids, got {len(docids)}")
+                elif len(set(docids)) != len(docids):
+                    problems.append(f"row {row_num}: duplicate docids within query")
+            return problems
+        if header is None or hs[:2] != ["id", "docids"]:
             problems.append(f"bad header: {header}")
         for row_num, row in enumerate(reader, start=2):
             if len(row) < 2:

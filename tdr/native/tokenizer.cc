@@ -74,9 +74,12 @@ inline int encode_utf8(uint32_t cp, char* out) {
 // ---------------- classification ----------------
 
 inline bool is_word_cp(uint32_t cp) {
+  // NB '_' is a SEPARATOR: the Python pipeline translates string.punctuation
+  // (which contains '_') to spaces before tokenizing, so "quick_brown" must
+  // split into two tokens on both paths.
   if (cp < 0x80)
     return (cp >= '0' && cp <= '9') || (cp >= 'a' && cp <= 'z') ||
-           (cp >= 'A' && cp <= 'Z') || cp == '_';
+           (cp >= 'A' && cp <= 'Z');
   // Latin-1 supplement letters
   if (cp >= 0xC0 && cp <= 0xFF && cp != 0xD7 && cp != 0xF7) return true;
   // Latin Extended-A/B
@@ -107,10 +110,34 @@ inline bool is_hangul(uint32_t cp) {
 inline uint32_t lower_cp(uint32_t cp) {
   if (cp >= 'A' && cp <= 'Z') return cp + 32;
   if (cp >= 0xC0 && cp <= 0xDE && cp != 0xD7) return cp + 32;  // Latin-1
-  // Latin Extended-A: even/odd pairs
-  if (cp >= 0x100 && cp <= 0x177 && (cp % 2 == 0)) return cp + 1;
-  if (cp >= 0x179 && cp <= 0x17E && (cp % 2 == 1)) return cp + 1;
+  // Latin Extended-A: case pairs alternate parity across three sub-ranges
+  // (0x100-0x137 and 0x14A-0x177 are even-upper; 0x139-0x148 and
+  // 0x179-0x17D are odd-upper).
+  if ((cp >= 0x100 && cp <= 0x137) || (cp >= 0x14A && cp <= 0x177))
+    return (cp % 2 == 0) ? cp + 1 : cp;
+  if ((cp >= 0x139 && cp <= 0x148) || (cp >= 0x179 && cp <= 0x17D))
+    return (cp % 2 == 1) ? cp + 1 : cp;
+  if (cp == 0x178) return 0xFF;  // Y with diaeresis
+  // Greek (final-sigma handled contextually at token flush)
+  if (cp == 0x386) return 0x3AC;
+  if (cp >= 0x388 && cp <= 0x38A) return cp + 0x25;
+  if (cp == 0x38C) return 0x3CC;
+  if (cp == 0x38E || cp == 0x38F) return cp + 0x3F;
+  if ((cp >= 0x391 && cp <= 0x3A1) || (cp >= 0x3A3 && cp <= 0x3AB))
+    return cp + 32;
+  // Cyrillic
+  if (cp >= 0x400 && cp <= 0x40F) return cp + 80;
+  if (cp >= 0x410 && cp <= 0x42F) return cp + 32;
   return cp;
+}
+
+// Unicode "cased" approximation for the scripts this tokenizer lowercases;
+// the Final_Sigma rule requires the preceding character to be cased (digits
+// are not: "1Σ".lower() == "1σ" but "ΑΣ".lower() == "ας").
+inline bool is_cased_cp(uint32_t cp) {
+  return (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+         (cp >= 0xC0 && cp <= 0xFF && cp != 0xD7 && cp != 0xF7) ||
+         (cp >= 0x100 && cp <= 0x24F) || (cp >= 0x370 && cp <= 0x4FF);
 }
 
 // Arabic normalization: returns 0 to drop (diacritic/tatweel), else the
@@ -210,8 +237,20 @@ TdrResult* tdr_tokenize_batch(
   std::string tok;
   tok.reserve(64);
   char enc[4];
+  bool prev_cased = false;       // was the previous codepoint in tok cased?
+  bool final_sigma = false;      // does tok currently end in a lowered Σ
+                                 // preceded by a cased letter?
 
   auto flush_token = [&](char mode) {
+    // Final_Sigma: "ΛΟΓΟΣ".lower() == "λογος" — a capital sigma at word end
+    // (with a cased letter before it) lowers to ς (0xCF 0x82), not σ.
+    if (final_sigma && tok.size() >= 2 &&
+        (unsigned char)tok[tok.size() - 2] == 0xCF &&
+        (unsigned char)tok[tok.size() - 1] == 0x83) {
+      tok[tok.size() - 1] = (char)0x82;
+    }
+    prev_cased = false;
+    final_sigma = false;
     if (tok.empty()) return;
     size_t min_bytes = (mode == 'l') ? (size_t)min_len_latin : 1;
     // min_len_latin counts CODEPOINTS; for latin lowercase ASCII ~= bytes,
@@ -273,6 +312,7 @@ TdrResult* tdr_tokenize_batch(
         in_hangul = false;
         continue;
       }
+      uint32_t orig = cp;
       cp = lower_cp(cp);
       if (mode == 'k') {
         bool h = is_hangul(cp);
@@ -284,8 +324,14 @@ TdrResult* tdr_tokenize_batch(
         }
         int m = encode_utf8(cp, enc);
         if (h) kword.append(enc, m);
-        else tok.append(enc, m);
+        else {
+          final_sigma = (orig == 0x3A3) && prev_cased;
+          prev_cased = is_cased_cp(orig);
+          tok.append(enc, m);
+        }
       } else {
+        final_sigma = (orig == 0x3A3) && prev_cased;
+        prev_cased = is_cased_cp(orig);
         int m = encode_utf8(cp, enc);
         tok.append(enc, m);
       }

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 from tdr.index.build import SparseIndex
 
 NEG_INF = jnp.float32(-jnp.inf)
+# query language code that matches every document (unknown-language queries
+# fall back to unfiltered ranking rather than silently returning nothing)
+WILDCARD_LANG = -2
 
 
 _HEAD_CHUNK = 16
@@ -144,8 +147,12 @@ def topk_language_filtered(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-index language-filtered top-k: keep only docs whose language
     matches the query's (the reference's walk-the-argsort filter,
-    text_preprocessing_and_stopwords.py:252-268 — here a masked top_k)."""
-    mask = doc_langs[None, :] == query_langs[:, None]
+    text_preprocessing_and_stopwords.py:252-268 — here a masked top_k).
+
+    A query code of ``WILDCARD_LANG`` disables the filter for that query
+    (plain top-k) — used when the query's language is unknown."""
+    q = query_langs[:, None]
+    mask = (doc_langs[None, :] == q) | (q == WILDCARD_LANG)
     return jax.lax.top_k(jnp.where(mask, scores, NEG_INF), top_k)
 
 

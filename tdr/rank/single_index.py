@@ -22,7 +22,12 @@ import numpy as np
 
 from tdr.data.loaders import Corpus
 from tdr.models.sparse import SparseModel, TfidfCosineModel
-from tdr.ops.score import mask_invalid_docs, score_batch_raw, topk_language_filtered
+from tdr.ops.score import (
+    WILDCARD_LANG,
+    mask_invalid_docs,
+    score_batch_raw,
+    topk_language_filtered,
+)
 from tdr.text.preprocess import Preprocessor
 from tdr.utils.config import IndexConfig
 
@@ -56,6 +61,18 @@ class SingleIndexRetriever:
         return cls(model=model, doc_lang_codes=jnp.asarray(codes),
                    lang_to_code=lang_to_code, preprocessor=pp)
 
+    def _query_code(self, query: str, lang: str) -> int:
+        """Language code for a query; unknown languages fall back to
+        detection, then to unfiltered ranking (LanguageRouter-style) instead
+        of a code that matches no document."""
+        code = self.lang_to_code.get(lang)
+        if code is None:
+            from tdr.text.langid import detect_language
+
+            code = self.lang_to_code.get(
+                detect_language(query, default=""), WILDCARD_LANG)
+        return code
+
     def retrieve(
         self, queries: Sequence[str], langs: Sequence[str], k: int = 10
     ) -> List[List[str]]:
@@ -70,7 +87,8 @@ class SingleIndexRetriever:
             toks += [[]] * pad
             qids, qw = m.encode_query_tokens(toks)
             q_codes = jnp.asarray(
-                [self.lang_to_code.get(l, -2) for l in chunk_l] + [-2] * pad,
+                [self._query_code(q, l) for q, l in zip(chunk_q, chunk_l)]
+                + [WILDCARD_LANG] * pad,
                 jnp.int32)
             scores = mask_invalid_docs(
                 score_batch_raw(m.index, jnp.clip(qids, 0, m.index.vocab_size - 1), qw),

@@ -67,7 +67,11 @@ def fast_encode_corpus(
     stem_strings: Dict[str, int] = {}
     raw_to_stem = np.zeros(max(len(raw_vocab), 1), np.int32)
     for rid, term in enumerate(raw_vocab):
-        s = normalize(term)
+        # Universal lowercase net: the C++ tokenizer lowercases ASCII /
+        # Latin-1 / Latin-Ext-A / Greek / Cyrillic inline; any script it
+        # cannot map (e.g. Latin Ext-B) is caught here on the UNIQUE vocab
+        # with exact str.lower semantics, then merged by id.
+        s = normalize(term.lower())
         sid = stem_strings.setdefault(s, len(stem_strings))
         raw_to_stem[rid] = sid
     n_unigram = len(stem_strings)

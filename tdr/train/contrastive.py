@@ -121,18 +121,28 @@ def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
     p_sh = param_shardings(mesh, state.params)
     params = jax.device_put(state.params, p_sh)
 
-    # shape -> sharding lookup from the param tree
-    shard_by_shape = {}
-    for leaf, sh in zip(jax.tree_util.tree_leaves(params),
-                        jax.tree_util.tree_leaves(
-                            p_sh, is_leaf=lambda x: isinstance(x, NamedSharding))):
-        shard_by_shape[tuple(jnp.shape(leaf))] = sh
+    # Optimizer moments (adam mu/nu in optax's ScaleByAdamState) are whole
+    # subtrees with the params' exact treedef, so pair them STRUCTURALLY:
+    # any opt-state node whose pytree structure equals the param tree gets
+    # the param shardings leaf-for-leaf; everything else (step counters,
+    # scalars) replicates.  Shape-keyed matching would silently collide for
+    # two same-shaped params with different partition specs.
+    param_treedef = jax.tree_util.tree_structure(state.params)
+    replicated = NamedSharding(mesh, P())
 
-    def put_opt(leaf):
-        sh = shard_by_shape.get(tuple(jnp.shape(leaf)))
-        return jax.device_put(leaf, sh or NamedSharding(mesh, P()))
+    def _is_param_mirror(node) -> bool:
+        try:
+            return jax.tree_util.tree_structure(node) == param_treedef
+        except Exception:
+            return False
 
-    opt_state = jax.tree.map(put_opt, state.opt_state)
+    def _put_node(node):
+        if _is_param_mirror(node):
+            return jax.device_put(node, p_sh)
+        return jax.tree.map(lambda l: jax.device_put(l, replicated), node)
+
+    opt_state = jax.tree.map(_put_node, state.opt_state,
+                             is_leaf=_is_param_mirror)
     return TrainState(params, opt_state,
                       jax.device_put(state.step, NamedSharding(mesh, P())))
 

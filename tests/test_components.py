@@ -201,14 +201,22 @@ class TestSingleIndexRetriever:
             assert all(lang_of[d] == lang for d in res)
         assert recall_at_k(results, queries.positive_docs) >= 0.9
 
-    def test_unknown_lang_gets_nothing(self):
+    def test_unknown_lang_falls_back(self):
+        """ADVICE r1: unknown query languages must not silently return
+        nothing — they fall back to language detection, then to unfiltered
+        ranking."""
         from tdr.data import synthetic_corpus, SyntheticSpec
         from tdr.rank import SingleIndexRetriever
 
-        corpus, _ = synthetic_corpus(SyntheticSpec(n_docs=100, n_queries=5, seed=72))
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=100, n_queries=5, seed=72))
         r = SingleIndexRetriever.build(corpus, index_cfg=CFG)
-        out = r.retrieve(["some query"], ["zz"], k=5)
-        assert out[0] == []
+        out = r.retrieve(queries.queries[:2], ["zz", "xx"], k=5)
+        assert all(len(res) == 5 for res in out)
+        # undetectable text (no stopwords, no distinctive script) ranks
+        # unfiltered rather than returning an empty list
+        out2 = r.retrieve(["zzz qqq xxx"], ["zz"], k=5)
+        assert len(out2[0]) == 5
 
 
 class TestSentenceCascadeMultilingual:

@@ -143,3 +143,18 @@ class TestMetrics:
         rows = list(_csv.reader(open(path)))
         assert rows[0] == ["id"] + [f"doc_{j+1}" for j in range(10)]
         assert rows[1][1] == "d0-0" and rows[1][10] == "d0-9"
+        # ADVICE r1: the validator must understand the wide format too
+        assert validate_submission(path) == []
+
+    def test_wide_submission_validator_catches_problems(self, tmp_path):
+        path = str(tmp_path / "wide_bad.csv")
+        hdr = "id," + ",".join(f"doc_{j+1}" for j in range(10))
+        with open(path, "w") as f:
+            f.write(hdr + "\n")
+            f.write("0," + ",".join(f"d{j}" for j in range(10)) + "\n")
+            f.write("0," + ",".join("dup" for _ in range(10)) + "\n")
+            f.write("1," + ",".join(f"e{j}" for j in range(9)) + ",\n")
+        probs = validate_submission(path)
+        assert any("duplicate id" in p for p in probs)
+        assert any("duplicate docids" in p for p in probs)
+        assert any("expected 10 docids, got 9" in p for p in probs)

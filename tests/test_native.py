@@ -109,3 +109,26 @@ def test_empty_and_garbage_inputs():
         if texts:
             vocab, d, t, f, dl = fast_encode_corpus(texts, ["en"] * len(texts))
             assert dl.shape == (len(texts),)
+
+
+TRICKY = [
+    # '_' is punctuation in the Python path: quick_brown must split
+    "The quick_brown fox and snake_case_identifiers everywhere",
+    # uppercase beyond ASCII: Latin-1, Latin Ext-A odd-pair ranges, Greek
+    # (incl. final sigma), Cyrillic
+    "ÉCOLE Ĺudovít Ňitra ŹDŹBŁO Ž",
+    "ΛΟΓΟΣ ΑΣΒΕΣΤΟΣ Σ 1Σ σπίτι ΏΡΑ",
+    "МОСКВА Пушкин ЁЖИК џ Џ",
+    "Ÿ ÿ ŸVES mixed_CASE_Σ",
+]
+
+
+def test_tricky_characters_match_python_pipeline():
+    """ADVICE r1 (medium): '_' handling + non-Latin-1 uppercase parity."""
+    py_counts, py_lens = _python_counts(TRICKY, "en")
+    fa_counts, fa_lens = _fast_counts(TRICKY, "en")
+    assert fa_counts == py_counts, (
+        sorted(set(py_counts) - set(fa_counts))[:10],
+        sorted(set(fa_counts) - set(py_counts))[:10],
+    )
+    np.testing.assert_array_equal(fa_lens, py_lens)
