@@ -48,6 +48,18 @@ def _make_word(rng: np.random.RandomState, lang: str) -> str:
     return "".join(rng.choice(_LATIN_SYLLABLES) for _ in range(n))
 
 
+_TYPO_CHAR = {"ar": "ح", "ko": "흐"}
+
+
+def _typo(rng: np.random.RandomState, word: str, lang: str) -> str:
+    """Corrupt one character (usually making the term out-of-vocabulary)."""
+    ch = _TYPO_CHAR.get(lang, "x")
+    if len(word) < 2:
+        return word + ch
+    i = rng.randint(0, len(word))
+    return word[:i] + ch + word[i + 1:]
+
+
 @dataclass(frozen=True)
 class SyntheticSpec:
     n_docs: int = 2000
@@ -60,6 +72,18 @@ class SyntheticSpec:
     query_len: int = 6
     signature_terms: int = 4         # per-doc distinctive terms
     noise_query_terms: int = 2       # common terms mixed into each query
+
+    # -- hard mode (de-saturated eval) --------------------------------------
+    # Docs are generated in near-duplicate groups sharing all but one
+    # signature term; queries use the shared terms, include the target's
+    # unique term only with ``unique_term_prob``, and suffer per-term typo
+    # corruption.  Latin languages share part of their rare vocabulary so
+    # cross-language collisions exist.  Recall@10 lands well below 1.0 and
+    # MOVES when ranking quality changes.
+    hard: bool = False
+    group_size: int = 16             # docs per near-duplicate group
+    unique_term_prob: float = 0.5    # P(query carries the disambiguating term)
+    typo_prob: float = 0.15          # per-query-term corruption probability
 
 
 def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, QuerySet]:
@@ -91,10 +115,31 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
                 words.append(w)
         vocabs[lang] = words
 
+    if spec.hard:
+        # cross-language vocabulary collisions: latin languages share the
+        # tail 10% of their rare pools, so a query's signature terms also
+        # occur in other languages' documents (stress for the single-index
+        # path and for language routing).
+        latin = [l for l in langs if l not in ("ar", "ko")]
+        if len(latin) > 1:
+            srng = np.random.RandomState((spec.seed * 7 + 11) % (2**31))
+            n_shared = max(1, spec.vocab_per_lang // 10)
+            shared_pool: List[str] = []
+            seen_sh = set()
+            while len(shared_pool) < n_shared:
+                w = _make_word(srng, "en")
+                if w not in seen_sh:
+                    seen_sh.add(w)
+                    shared_pool.append(w)
+            for l in latin:
+                vocabs[l] = vocabs[l][:-n_shared] + shared_pool
+
     docids: List[str] = []
     texts: List[str] = []
     doc_langs: List[str] = []
     signatures: List[List[str]] = []
+    shared_of: List[List[str]] = []      # hard mode: group-shared sig terms
+    unique_of: List[str] = []            # hard mode: disambiguating term
 
     did = 0
     for lang, cnt in zip(langs, counts):
@@ -111,7 +156,18 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
         lengths = np.maximum(
             10, rng.normal(spec.doc_len_mean, spec.doc_len_mean / 4, cnt).astype(int))
         pool = rng.choice(len(common), size=int(lengths.sum()), p=zipf_p)
-        sig_idx = rng.randint(0, len(rare), (cnt, spec.signature_terms))
+        if spec.hard:
+            # near-duplicate groups: group members share all signature terms
+            # but one; only the unique term (present in the query with
+            # probability unique_term_prob) separates the target from its
+            # group_size-1 distractors.
+            group = np.arange(cnt) // max(1, spec.group_size)
+            shared_idx = rng.randint(
+                0, len(rare), (int(group.max()) + 1, spec.signature_terms - 1))
+            uniq_idx = rng.randint(0, len(rare), cnt)
+            sig_idx = np.concatenate([shared_idx[group], uniq_idx[:, None]], axis=1)
+        else:
+            sig_idx = rng.randint(0, len(rare), (cnt, spec.signature_terms))
         sig_reps = rng.randint(2, 5, (cnt, spec.signature_terms))
         offsets = np.concatenate([[0], np.cumsum(lengths)])
         for i in range(cnt):
@@ -124,6 +180,9 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
             texts.append(" ".join(body))
             doc_langs.append(lang)
             signatures.append(sig)
+            if spec.hard:
+                shared_of.append([str(w) for w in dict.fromkeys(rare[sig_idx[i][:-1]])])
+                unique_of.append(str(rare[sig_idx[i][-1]]))
             did += 1
 
     corpus = Corpus(docids, texts, doc_langs)
@@ -138,8 +197,16 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
         lang = doc_langs[t]
         vocab = vocabs[lang]
         n_common = len(vocab) // 2
-        terms = list(signatures[t])[: spec.query_len]
-        terms += list(rng.choice(vocab[:n_common], size=spec.noise_query_terms))
+        if spec.hard:
+            terms = list(shared_of[t])
+            if rng.rand() < spec.unique_term_prob:
+                terms.append(unique_of[t])
+            terms += list(rng.choice(vocab[:n_common], size=spec.noise_query_terms))
+            terms = [_typo(rng, w, lang) if rng.rand() < spec.typo_prob else w
+                     for w in terms]
+        else:
+            terms = list(signatures[t])[: spec.query_len]
+            terms += list(rng.choice(vocab[:n_common], size=spec.noise_query_terms))
         rng.shuffle(terms)
         q_ids.append(str(qi))
         q_texts.append(" ".join(terms))
