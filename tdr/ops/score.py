@@ -91,6 +91,66 @@ def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.
     return scores
 
 
+_HEAD_UNIQUE = 2048  # batch-level unique head-slot budget for the matmul head
+
+
+def _head_scores_matmul(
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
+    max_unique: int = _HEAD_UNIQUE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Head scores as ONE MXU matmul over the batch's unique head rows.
+
+    The per-query gather-einsum (`_head_scores_capped`) reads up to TH head
+    rows PER QUERY — Q*TH row reads of N floats each.  Queries in a batch
+    share terms heavily (Zipf vocabulary), so this formulation gathers each
+    UNIQUE active head slot once (U rows), builds a dense (Q, U) weight
+    matrix, and contracts it against the (U, N) gathered rows in a single
+    matmul: HBM traffic drops by the term-sharing factor and the reduction
+    runs on the MXU instead of the VPU.  No per-query term cap exists on
+    this path — a query may use all T of its head terms.
+
+    Returns (scores (Q, N) f32, overflow (Q,) bool).  Overflow is set for
+    the whole batch when it has more than ``max_unique`` distinct active
+    head slots (the caller re-scores via the exact path).
+    """
+    Q, T = qids.shape
+    D = index.head_rows.shape[0]
+    U = min(max_unique, Q * T)
+
+    slot = index.head_slot[qids]                        # (Q, T)
+    active = (slot >= 0) & (qw > 0)
+
+    BIG = jnp.int32(2**30)
+    flat = jnp.where(active, slot, BIG).reshape(-1)     # (Q*T,)
+    payload = jax.lax.broadcasted_iota(jnp.int32, (Q * T,), 0)
+    s, orig = jax.lax.sort((flat, payload), num_keys=1)
+    is_new = jnp.concatenate([s[:1] < BIG, (s[1:] != s[:-1]) & (s[1:] < BIG)])
+    n_unique = jnp.sum(is_new)
+    overflow = jnp.broadcast_to(n_unique > U, (Q,))
+
+    # rank = index of each element's unique value (duplicates share a rank)
+    rank = jnp.cumsum(is_new) - 1
+    col_sorted = jnp.clip(rank, 0, U - 1)
+    col = jnp.zeros((Q * T,), jnp.int32).at[orig].set(col_sorted)
+
+    # unique slot table at each rank (extra slot swallows inactive/overflow)
+    tbl = jnp.zeros((U + 1,), jnp.int32).at[
+        jnp.where(is_new & (rank < U), rank, U)].set(s)[:U]
+
+    rows = index.head_rows[jnp.clip(tbl, 0, max(D - 1, 0))]   # (U, N)
+
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0).reshape(-1)
+    w_flat = jnp.where(active, qw, 0.0).reshape(-1)
+    W = jnp.zeros((Q, U), jnp.float32).at[q_idx, col].add(w_flat)
+    # match the rows' dtype so the contraction is a native MXU matmul
+    # (BM25 unit weights are exact in bf16; idf weights round at ~4e-3,
+    # the same order as the bf16 rows themselves)
+    W = W.astype(index.head_rows.dtype)
+    scores = jnp.einsum("qu,un->qn", W, rows,
+                        preferred_element_type=jnp.float32)
+    return scores, overflow
+
+
 def _tail_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
                  scores: jnp.ndarray) -> jnp.ndarray:
     """Scatter-add flat-CSR tail postings into scores (Q, N_pad)."""
@@ -138,6 +198,29 @@ def topk_masked(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jax.lax.top_k(scores, k)
 
 
+def _topk_2stage(
+    scores: jnp.ndarray, k: int, block: int = 1024
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a long doc axis in two passes.
+
+    ``lax.top_k`` over (Q, 262k) sorts full rows; splitting the doc axis
+    into blocks, taking each block's top-k, and re-top-k'ing the Q x (nb*k)
+    winners does asymptotically less comparison work and keeps each sort in
+    VMEM-sized tiles.  Exact, including lax.top_k's lowest-index-wins tie
+    order: an element outside its block's top-k is dominated by k elements
+    globally, and block-major concatenation preserves index order for ties.
+    """
+    Q, N = scores.shape
+    if k > block or N < 4 * block or N % block:
+        return jax.lax.top_k(scores, k)
+    nb = N // block
+    v1, i1 = jax.lax.top_k(scores.reshape(Q, nb, block), k)     # (Q, nb, k)
+    base = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1) * block
+    gi = (i1 + base).reshape(Q, nb * k)
+    v2, sel = jax.lax.top_k(v1.reshape(Q, nb * k), k)
+    return v2, jnp.take_along_axis(gi, sel, axis=1)
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def topk_language_filtered(
     scores: jnp.ndarray,        # (Q, N)
@@ -161,7 +244,7 @@ def _scatter_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scores = mask_invalid_docs(score_batch_raw(index, qids, qw), index.n_docs)
     k_eff = min(top_k, index.n_docs_pad)
-    vals, idx = jax.lax.top_k(scores, k_eff)
+    vals, idx = _topk_2stage(scores, k_eff)
     if k_eff < top_k:
         pad = top_k - k_eff
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -246,19 +329,20 @@ def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
     return docs, vals, active, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget", "max_head_terms"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget", "head_unique"))
 def _fused_topk_core(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
-    tail_budget: int, max_head_terms: int = 16,
+    tail_budget: int, head_unique: int = _HEAD_UNIQUE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     qids = jnp.clip(qids, 0, index.vocab_size - 1)
     Q = qids.shape[0]
 
-    # 1) head scores (term-capped; overflow re-scored by the wrapper)
-    head, head_ovf = _head_scores_capped(index, qids, qw, max_head_terms)
+    # 1) head scores: one MXU matmul over the batch's unique head rows
+    #    (batch-level unique cap; overflow re-scored by the wrapper)
+    head, head_ovf = _head_scores_matmul(index, qids, qw, head_unique)
     head = mask_invalid_docs(head, index.n_docs)
     k = min(top_k, index.n_docs_pad)
-    hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
+    hv, hi = _topk_2stage(head, k)                             # (Q, k)
 
     # 2) compacted tail slots → per-doc tail sums via sorted segment cumsum
     docs, vals, act, overflow = _tail_compact(index, qids, qw, tail_budget)

@@ -61,11 +61,28 @@ def explode_corpus(
 class SentenceBM25:
     """Per-language sentence-level BM25 built on the sparse score-row engine.
 
-    Keeps the original sentence texts by row so downstream re-rankers can
-    re-encode candidates."""
+    Keeps the original sentence texts by row; ``precompute_embeddings``
+    additionally stores one dense embedding per sentence (the reference
+    embeds ALL sentences once up front, team_run1.py:225-239) plus a
+    row→document mapping so the re-rank stage is pure array ops."""
 
     model: BM25Model
     texts: List[str]
+    embeddings: Optional[np.ndarray] = None      # (S, D) corpus-wide
+    doc_of_row: Optional[np.ndarray] = None      # (S,) int32 into doc_table
+    doc_table: Optional[List[str]] = None
+
+    def precompute_embeddings(self, dense, batch: int = 256) -> None:
+        """Embed every sentence once (idempotent; lazy on first retrieval)."""
+        if self.embeddings is None:
+            self.embeddings = dense.encode_queries(self.texts, batch=batch)
+        if self.doc_of_row is None:
+            table: Dict[str, int] = {}
+            d_of = np.zeros(len(self.model.docids), np.int32)
+            for r, sid in enumerate(self.model.docids):
+                d_of[r] = table.setdefault(get_original_docid(sid), len(table))
+            self.doc_of_row = d_of
+            self.doc_table = list(table)
 
     @classmethod
     def build(
@@ -102,27 +119,32 @@ def candidate_union(
     Returns (Q, max_candidates) int32 local rows, padded with -1.  Order
     follows the reference: postings walked term by term, first-seen kept.
     """
-    indptr = np.asarray(model.index.indptr)
+    indptr = np.asarray(model.index.indptr).astype(np.int64)
     docs = np.asarray(model.index.postings_doc)
     df = np.asarray(model.index.stats.df).astype(np.int64)
     Q, T = qids.shape
     out = np.full((Q, max_candidates), -1, np.int32)
+    # generation-stamped "seen" array: one allocation for the whole batch,
+    # no per-posting python loop (the reference walks postings one int at a
+    # time; at en-partition scale that is millions of interpreter steps)
+    n_rows = int(docs.max()) + 1 if docs.size else 1
+    seen = np.full(n_rows, -1, np.int64)
     for q in range(Q):
-        seen: Dict[int, None] = {}
+        count = 0
         for t in range(T):
-            if qw[q, t] <= 0:
+            if qw[q, t] <= 0 or count >= max_candidates:
                 continue
             term = int(qids[q, t])
-            for p in range(indptr[term], indptr[term] + int(df[term])):
-                d = int(docs[p])
-                if d not in seen:
-                    seen[d] = None
-                    if len(seen) >= max_candidates:
-                        break
-            if len(seen) >= max_candidates:
-                break
-        cand = list(seen)
-        out[q, : len(cand)] = cand
+            seg = docs[indptr[term]: indptr[term] + df[term]]
+            new = seg[seen[seg] != q]
+            if new.size == 0:
+                continue
+            # first occurrence order within the segment
+            _, first = np.unique(new, return_index=True)
+            new = new[np.sort(first)][: max_candidates - count]
+            out[q, count: count + new.size] = new
+            seen[new] = q
+            count += new.size
     return out
 
 
@@ -152,30 +174,31 @@ class SentenceLmCascade:
 
         for lang, q_idx in groups.items():
             smodel = self.sentence_models[lang]
+            # corpus-wide sentence embeddings, computed ONCE (reference
+            # semantics, team_run1.py:225-239) — no per-query encoder calls
+            smodel.precompute_embeddings(self.dense)
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
-            _, sent_ids = smodel.top_sentences(toks, self.bm25_candidates)
-            # map sentence ids back to their text rows for encoding
-            sid_to_row = {s: r for r, s in enumerate(smodel.model.docids)}
+            vals, rows = smodel.model.topk_tokens(toks, self.bm25_candidates)
+            valid = np.isfinite(np.asarray(vals))                # (G, M)
+            rows_c = np.clip(np.asarray(rows), 0, len(smodel.texts) - 1)
             # one batched encoder forward for ALL of the group's queries
             q_embs = self.dense.encode_queries([queries[i] for i in q_idx])
+            cand_emb = smodel.embeddings[rows_c]                 # (G, M, D)
+            sims = np.einsum("gmd,gd->gm", cand_emb, q_embs)
+            sims = np.where(valid, sims, -np.inf)
+            order = np.argsort(-sims, axis=1, kind="stable")     # (G, M)
+            doc_idx = smodel.doc_of_row[rows_c]                  # (G, M)
             for j, qi in enumerate(q_idx):
-                cand_sids = sent_ids[j]
-                if not cand_sids:
-                    results[qi] = []
-                    continue
-                # dense re-rank: cosine between query and candidate sentences
-                s_texts = [smodel.texts[sid_to_row[s]] for s in cand_sids]
-                s_emb = self.dense.encode_queries(s_texts)                  # (M, D)
-                sims = (s_emb @ q_embs[j])
-                order = np.argsort(-sims, kind="stable")
                 # dedupe sentences → docs, keep first (best) per doc
                 docs: List[str] = []
                 seen = set()
-                for o in order:
-                    d = get_original_docid(cand_sids[o])
+                for o in order[j]:
+                    if not valid[j, o]:
+                        break
+                    d = int(doc_idx[j, o])
                     if d not in seen:
                         seen.add(d)
-                        docs.append(d)
+                        docs.append(smodel.doc_table[d])
                     if len(docs) >= k:
                         break
                 results[qi] = docs
