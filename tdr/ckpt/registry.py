@@ -163,8 +163,16 @@ def load_registry(path: str) -> Dict[str, SparseModel]:
         raise ValueError(
             f"checkpoint format {manifest['format_version']} is newer than "
             f"this build ({FORMAT_VERSION})")
-    return {lang: load_sparse_model(os.path.join(path, lang))
-            for lang in manifest["languages"]}
+    # parallel reload: per-language loads are I/O-bound (npz decompress +
+    # host->device transfer); the reference thread-pools its shard reloads
+    # for the same reason (final_implementation.py:223-287)
+    langs = manifest["languages"]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(langs)))) as ex:
+        loaded = list(ex.map(
+            lambda lang: load_sparse_model(os.path.join(path, lang)), langs))
+    return dict(zip(langs, loaded))
 
 
 # --------------------------------------------------------------------------
@@ -213,13 +221,19 @@ def load_sharded_index(path: str):
     kw = {name: _from_numpy_saved(shared[name], dtypes[name])
           for name in _SHARDED_SHARED}
     S = meta["statics"]["n_shards"]
-    per_shard = {name: [] for name in _SHARDED_STACKED}
-    for s in range(S):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_shard(s):
         data = np.load(os.path.join(path, f"shard_{s:04d}.npz"))
-        for name in _SHARDED_STACKED:
-            per_shard[name].append(_from_numpy_saved(data[name], dtypes[name]))
+        return {name: _from_numpy_saved(data[name], dtypes[name])
+                for name in _SHARDED_STACKED}
+
+    # parallel shard reload (reference: ThreadPoolExecutor over pickle
+    # batches, final_implementation.py:223-287)
+    with ThreadPoolExecutor(max_workers=min(8, S)) as ex:
+        shards = list(ex.map(_load_shard, range(S)))
     for name in _SHARDED_STACKED:
-        kw[name] = jnp.stack(per_shard[name])
+        kw[name] = jnp.stack([sh[name] for sh in shards])
     return ShardedSparseIndex(**kw, **meta["statics"])
 
 

@@ -37,6 +37,38 @@ def mrr_at_k(
     return total / len(retrieved)
 
 
+def macro_f1(
+    retrieved: Sequence[Sequence[str]], positives: Sequence[str]
+) -> float:
+    """Macro-averaged F1 of the top-1 prediction vs the positive doc.
+
+    The reference's FAISS path scores sklearn ``f1_score(average="macro")``
+    over top-1 docids (faiss_based_ANN_Implementation.py:301-303): each
+    distinct docid is a class; per-class F1 is computed from the top-1
+    predictions and averaged unweighted over all classes present in either
+    labels or predictions (sklearn's label set)."""
+    if not retrieved:
+        return 0.0
+    y_pred = [r[0] if len(r) else "" for r in retrieved]
+    y_true = list(positives)
+    tp: Dict[str, int] = {}
+    fp: Dict[str, int] = {}
+    fn: Dict[str, int] = {}
+    for t, p in zip(y_true, y_pred):
+        if t == p:
+            tp[t] = tp.get(t, 0) + 1
+        else:
+            fp[p] = fp.get(p, 0) + 1
+            fn[t] = fn.get(t, 0) + 1
+    classes = set(y_true) | set(y_pred)
+    classes.discard("")
+    f1s = []
+    for c in sorted(classes):
+        denom = 2 * tp.get(c, 0) + fp.get(c, 0) + fn.get(c, 0)
+        f1s.append(2 * tp.get(c, 0) / denom if denom else 0.0)
+    return sum(f1s) / len(f1s) if f1s else 0.0
+
+
 def evaluate_retrieval(
     retrieved: Sequence[Sequence[str]],
     positives: Sequence[str],

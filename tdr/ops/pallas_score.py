@@ -120,12 +120,17 @@ def head_scores_pallas(
     suite)."""
     out, overflow = _head_scores_pallas_core(
         index, qids, qw, max_head_terms, interpret)
-    if bool(jnp.any(overflow)):
+
+    # overflow fallback stays INSIDE jit (lax.cond) — a bool() on the flag
+    # would host-sync every batch, the exact per-batch tunnel round-trip the
+    # fused XLA path removed (commit a6e3508)
+    def fallback(out):
         from tdr.ops.score import _head_scores
 
         ref = _head_scores(index, jnp.clip(qids, 0, index.vocab_size - 1), qw)
-        out = jnp.where(jnp.asarray(np.asarray(overflow))[:, None], ref, out)
-    return out
+        return jnp.where(overflow[:, None], ref, out)
+
+    return jax.lax.cond(jnp.any(overflow), fallback, lambda o: o, out)
 
 
 def pallas_head_available(index: SparseIndex) -> bool:

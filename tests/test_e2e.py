@@ -117,6 +117,31 @@ class TestMetrics:
         from tdr.eval import mrr_at_k
         assert mrr_at_k(retrieved, pos, k=3) == pytest.approx((1 / 2 + 1 / 3) / 3)
 
+    def test_macro_f1_matches_sklearn_semantics(self):
+        """The FAISS path's eval (faiss_based_ANN_Implementation.py:301-303):
+        macro F1 over top-1 predictions, classes = labels ∪ predictions."""
+        from tdr.eval import macro_f1
+
+        # perfect predictions
+        assert macro_f1([["a"], ["b"]], ["a", "b"]) == 1.0
+        # one class never predicted (f1=0), one perfect, one spurious (f1=0)
+        got = macro_f1([["a"], ["a"], ["c"]], ["a", "b", "a"])
+        # classes a,b,c: a: tp=1 fp=1 fn=1 -> f1=0.5; b: 0; c: 0
+        assert got == pytest.approx(0.5 / 3)
+        # cross-check vs sklearn when available
+        try:
+            from sklearn.metrics import f1_score
+        except ImportError:
+            return
+        import random
+
+        rng = random.Random(1)
+        docs = [f"d{i}" for i in range(9)]
+        y_true = [rng.choice(docs) for _ in range(80)]
+        y_pred = [rng.choice(docs) for _ in range(80)]
+        assert macro_f1([[p] for p in y_pred], y_true) == pytest.approx(
+            f1_score(y_true, y_pred, average="macro"))
+
     def test_submission_roundtrip(self, tmp_path):
         path = str(tmp_path / "submission.csv")
         retrieved = [[f"d{i}-{j}" for j in range(10)] for i in range(5)]
