@@ -248,3 +248,42 @@ class DenseModel:
             [self.docids[r] for r, v in zip(qr, qv) if np.isfinite(v)]
             for qr, qv in zip(rows, vals)
         ]
+
+
+def evaluate_dense(
+    dense: DenseModel,
+    queries: Sequence[str],
+    positives: Sequence[str],
+    langs: Optional[Sequence[str]] = None,
+    k: int = 10,
+    nprobes: Sequence[int] = (1, 2, 4, 8, 16),
+) -> dict:
+    """Held-out evaluation report for a dense retriever.
+
+    Mirrors the reference's FAISS eval flow
+    (faiss_based_ANN_Implementation.py:292-303) but on queries the encoder
+    was NOT trained on: flat (exact) recall@k, the IVF recall-vs-nprobe
+    curve, and a per-language breakdown when ``langs`` is given."""
+    from tdr.eval.metrics import recall_at_k
+
+    report: dict = {"n_queries": len(queries), "k": k}
+    flat_res = dense.retrieve(queries, k=k)
+    report["flat_recall"] = recall_at_k(flat_res, positives, k)
+    if langs is not None:
+        by_lang: dict = {}
+        for i, l in enumerate(langs):
+            by_lang.setdefault(l, []).append(i)
+        report["flat_recall_per_lang"] = {
+            l: recall_at_k([flat_res[i] for i in idx],
+                           [positives[i] for i in idx], k)
+            for l, idx in sorted(by_lang.items())
+        }
+    if dense.ivf is not None:
+        nlist = int(dense.ivf.centroids.shape[0])
+        report["ivf_recall_vs_nprobe"] = {
+            int(p): recall_at_k(
+                dense.retrieve(queries, k=k, use_ivf=True, nprobe=int(p)),
+                positives, k)
+            for p in nprobes if p <= nlist
+        }
+    return report

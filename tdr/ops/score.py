@@ -205,10 +205,15 @@ def _topk_2stage(
 
     ``lax.top_k`` over (Q, 262k) sorts full rows; splitting the doc axis
     into blocks, taking each block's top-k, and re-top-k'ing the Q x (nb*k)
-    winners does asymptotically less comparison work and keeps each sort in
-    VMEM-sized tiles.  Exact, including lax.top_k's lowest-index-wins tie
-    order: an element outside its block's top-k is dominated by k elements
-    globally, and block-major concatenation preserves index order for ties.
+    winners does asymptotically less comparison work.  Exact, including
+    lax.top_k's lowest-index-wins tie order: an element outside its block's
+    top-k is dominated by k elements globally, and block-major concatenation
+    preserves index order for ties.
+
+    MEASURED SLOWER than plain ``lax.top_k`` on TPU v5e (k=10, (256, 262144)
+    f32: ~+18 ms per batch — /tmp A/B, round 2); XLA's top_k is already
+    tiled well there.  Kept as a correctness-tested alternative for
+    backends where full-row sorts dominate; NOT on the production path.
     """
     Q, N = scores.shape
     if k > block or N < 4 * block or N % block:
@@ -244,7 +249,7 @@ def _scatter_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scores = mask_invalid_docs(score_batch_raw(index, qids, qw), index.n_docs)
     k_eff = min(top_k, index.n_docs_pad)
-    vals, idx = _topk_2stage(scores, k_eff)
+    vals, idx = jax.lax.top_k(scores, k_eff)
     if k_eff < top_k:
         pad = top_k - k_eff
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -342,7 +347,7 @@ def _fused_topk_core(
     head, head_ovf = _head_scores_matmul(index, qids, qw, head_unique)
     head = mask_invalid_docs(head, index.n_docs)
     k = min(top_k, index.n_docs_pad)
-    hv, hi = _topk_2stage(head, k)                             # (Q, k)
+    hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
 
     # 2) compacted tail slots → per-doc tail sums via sorted segment cumsum
     docs, vals, act, overflow = _tail_compact(index, qids, qw, tail_budget)

@@ -15,12 +15,36 @@ beyond the orchestration loop.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tdr.models.sparse import SparseModel
+from tdr.ops.score import NEG_INF, score_and_topk_fused, score_pairs
 from tdr.text.preprocess import Preprocessor
+
+
+@partial(jax.jit, static_argnames=("C", "k", "tail_budget"))
+def cascade_score_topk(
+    cand_index, rank_index,
+    qids1: jnp.ndarray, qw1: jnp.ndarray,      # stage-1 encoding (cand vocab)
+    qids2: jnp.ndarray, qw2: jnp.ndarray,      # stage-2 encoding (rank vocab)
+    C: int, k: int, tail_budget: int,
+):
+    """Both cascade stages in ONE device dispatch (no host hop between
+    stages): wide fused top-C candidates → binary-search CSR re-score →
+    final top-k.  The reference runs stage-1-then-stage-2 with a host round
+    trip (cosine_similarity_bm25_reranking.py:228-236)."""
+    vals1, cand_rows = score_and_topk_fused(
+        cand_index, qids1, qw1, top_k=C, tail_budget=tail_budget)
+    re_scores = score_pairs(rank_index, qids2, qw2, cand_rows)
+    re_scores = jnp.where(jnp.isfinite(vals1), re_scores, NEG_INF)
+    vals, sel = jax.lax.top_k(re_scores, min(k, C))
+    rows = jnp.take_along_axis(cand_rows, sel, axis=1)
+    return vals, rows
 
 
 @dataclass
@@ -52,16 +76,32 @@ class CascadeRetriever:
                 "cascade stages must index the same doc partition"
             )
             toks = [self.preprocessor(queries[i], lang) for i in q_idx]
-            C = min(self.candidates, cand_m.index.n_docs)
+            pipelined = hasattr(cand_m, "index") and hasattr(rank_m, "index")
+            n_docs = (cand_m.index.n_docs if hasattr(cand_m, "index")
+                      else cand_m.sindex.n_docs)
+            C = min(self.candidates, n_docs)
             for s in range(0, len(q_idx), self.query_batch):
                 sel = q_idx[s : s + self.query_batch]
                 chunk = toks[s : s + self.query_batch]
-                # stage 1: wide top-C candidates
                 n_chunk = len(chunk)
                 if n_chunk < self.query_batch:
                     chunk = chunk + [[]] * (self.query_batch - n_chunk)
+                if pipelined:
+                    # both stages in one device dispatch
+                    qids1, qw1 = cand_m.encode_query_tokens(chunk)
+                    qids2, qw2 = rank_m.encode_query_tokens(chunk)
+                    vals, rows = cascade_score_topk(
+                        cand_m.index, rank_m.index, qids1, qw1, qids2, qw2,
+                        C=C, k=min(k, C),
+                        tail_budget=getattr(cand_m, "tail_budget", 1024))
+                    vals = np.asarray(vals)[:n_chunk]
+                    rows = np.asarray(rows)[:n_chunk]
+                    for j, (rr, vv) in zip(sel, zip(rows, vals)):
+                        results[j] = [rank_m.docids[r]
+                                      for r, v in zip(rr, vv) if np.isfinite(v)]
+                    continue
+                # fallback (e.g. sharded stage-1 model): two dispatches
                 _, cand_rows = cand_m.topk_tokens(chunk, C)
-                # stage 2: exact re-score of candidates, final top-k
                 re_scores = rank_m.score_candidates_tokens(chunk, cand_rows)
                 cand_rows, re_scores = cand_rows[:n_chunk], re_scores[:n_chunk]
                 order = np.argsort(-re_scores, axis=1, kind="stable")[:, :k]

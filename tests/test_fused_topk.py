@@ -89,3 +89,26 @@ def test_bf16_head_preserves_ranking():
         for a, b in zip(np.asarray(d1), np.asarray(d2))
     ])
     assert agree >= 0.9, agree
+
+
+def test_topk_2stage_exact_parity():
+    """_topk_2stage (off the production path on v5e; kept for backends
+    where full-row sorts dominate) must match lax.top_k exactly, ties
+    included."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdr.ops.score import _topk_2stage
+
+    rng = np.random.RandomState(0)
+    # duplicate values force tie-order checking
+    scores = rng.randint(0, 50, (7, 8192)).astype(np.float32)
+    v1, i1 = jax.lax.top_k(jnp.asarray(scores), 10)
+    v2, i2 = _topk_2stage(jnp.asarray(scores), 10, block=1024)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # non-divisible / small-N fallback path
+    v3, i3 = _topk_2stage(jnp.asarray(scores[:, :3000]), 10, block=1024)
+    v4, i4 = jax.lax.top_k(jnp.asarray(scores[:, :3000]), 10)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
