@@ -112,3 +112,33 @@ def test_topk_2stage_exact_parity():
     v3, i3 = _topk_2stage(jnp.asarray(scores[:, :3000]), 10, block=1024)
     v4, i4 = jax.lax.top_k(jnp.asarray(scores[:, :3000]), 10)
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
+
+def test_head_unique_overflow_fallback():
+    """A batch with more distinct active head slots than the matmul head's
+    unique budget must flag overflow and the wrapper must re-score exactly
+    via the scatter path."""
+    import jax.numpy as jnp
+
+    from tdr.ops.score import _fused_topk_core, _head_scores_matmul
+
+    rng = np.random.RandomState(13)
+    vocab, coo, qids, qw = _random_world(rng)
+    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32))
+    # tiny unique budget -> guaranteed overflow on a diverse batch
+    _, ovf = _head_scores_matmul(idx, jnp.asarray(qids), jnp.asarray(qw),
+                                 max_unique=2)
+    assert bool(np.asarray(ovf).all())
+    v, d, overflow = _fused_topk_core(idx, jnp.asarray(qids), jnp.asarray(qw),
+                                      10, 1024, head_unique=2)
+    assert bool(np.asarray(overflow).any())
+    # the public wrapper path must remain exact regardless (its lax.cond
+    # replaces flagged queries with the scatter result); emulate it here
+    from tdr.ops.score import _scatter_topk
+
+    sv, sd = _scatter_topk(idx, jnp.asarray(qids), jnp.asarray(qw), 10)
+    full = np.asarray(score_batch(idx, jnp.asarray(qids), jnp.asarray(qw)))
+    for q in range(full.shape[0]):
+        np.testing.assert_allclose(np.asarray(sv)[q],
+                                   np.sort(full[q])[::-1][:10],
+                                   rtol=1e-4, atol=1e-5)
