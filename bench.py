@@ -43,8 +43,9 @@ def _kernel_roofline(model, batch: int, peak_gbps: float):
     """Time the fused device scoring pass on one index and compare a
     bytes-moved model against peak HBM bandwidth.
 
-    Model (per batch of Q queries, N_pad docs):
-      head gather-einsum   Q * TH * N_pad * head_bytes   (TH-term cap)
+    Model (per batch of Q queries, N_pad docs, matmul head):
+      unique-row gather    2 * U * N_pad * head_bytes    (write + matmul read;
+                           U = distinct active head slots in the batch)
       head scores + top_k  2 * Q * N_pad * 4             (materialize + scan)
       tail posting gather  Q * T * P * 12                (doc,w,tf streams)
     """
@@ -74,20 +75,91 @@ def _kernel_roofline(model, batch: int, peak_gbps: float):
     dt = (time.perf_counter() - t0) / n_rep
 
     N = index.n_docs_pad
-    TH = 16  # max_head_terms cap in _fused_topk_core
     head_bytes = index.head_rows.dtype.itemsize
     P = index.tail_pmax
-    model_bytes = (Q * TH * N * head_bytes) + (2 * Q * N * 4) + (Q * T * P * 12)
+    # distinct active head slots in this batch (the matmul head gathers each
+    # unique row once)
+    slots = np.asarray(index.head_slot)[np.clip(qids, 0, index.vocab_size - 1)]
+    u_eff = int(min(2048, len(np.unique(slots[(slots >= 0) & (qw > 0)]))))
+    model_bytes = (2 * u_eff * N * head_bytes) + (2 * Q * N * 4) + (Q * T * P * 12)
     gbps = model_bytes / dt / 1e9
     return {
         "batch": Q,
         "n_docs_pad": int(N),
+        "unique_head_rows": u_eff,
         "kernel_ms_per_batch": round(dt * 1e3, 2),
         "model_bytes_per_batch": int(model_bytes),
         "achieved_gbps": round(gbps, 1),
         "peak_gbps": peak_gbps,
         "hbm_utilization": round(gbps / peak_gbps, 3),
     }
+
+
+def _cascade_bench(n_docs: int = 5000, n_queries: int = 500) -> dict:
+    """Cascade throughput at moderate scale (VERDICT r1 #5 'cascade qps in
+    bench output'): the pipelined cosine→BM25 cascade and the sentence-BM25→
+    dense-LM cascade with corpus-wide precomputed sentence embeddings."""
+    import time
+
+    import jax
+
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.eval import recall_at_k
+    from tdr.models import BM25Model, TfidfCosineModel
+    from tdr.models.dense import DenseModel
+    from tdr.rank import CascadeRetriever, SentenceBM25, SentenceLmCascade
+    from tdr.train import train_dense_retriever
+    from tdr.utils.config import DenseConfig, IndexConfig
+
+    cfg = IndexConfig(head_budget_bytes=1 << 26)
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=n_docs, n_queries=n_queries, seed=7, hard=True,
+                      ref_proportions=False, langs=("en",)))
+    from tdr.text import Preprocessor
+
+    pp = Preprocessor("best")
+    toks = [pp(t, "en") for t in corpus.texts]
+
+    cand = TfidfCosineModel.build(toks, corpus.docids, lang="en", index_cfg=cfg)
+    rank = BM25Model.build(toks, corpus.docids, lang="en", index_cfg=cfg)
+    cas = CascadeRetriever({"en": cand}, {"en": rank}, candidates=200,
+                           query_batch=256)
+    cas.retrieve(queries.queries[:1], ["en"], k=10)  # warm
+    t0 = time.perf_counter()
+    res = cas.retrieve(queries.queries, queries.langs, k=10)
+    jax.block_until_ready(jax.numpy.zeros(()))
+    dt = time.perf_counter() - t0
+    out = {
+        "cosine_bm25_cascade_qps": round(n_queries / dt, 1),
+        "cosine_bm25_cascade_recall_at_10": round(
+            recall_at_k(res, queries.positive_docs, 10), 4),
+    }
+
+    # sentence-LM cascade: small trained encoder, precomputed embeddings
+    dcfg = DenseConfig(vocab_size=4000, dim=64, depth=2, heads=4, max_len=32)
+    model, state, _ = train_dense_retriever(
+        corpus, queries, dcfg, epochs=3, batch_size=50, n_neg=1, lr=1e-3)
+    dense = DenseModel.build(model, state.params, dcfg,
+                             corpus.texts[:1], corpus.docids[:1], batch=32)
+    sb = SentenceBM25.build(corpus.docids, corpus.texts, "en", index_cfg=cfg)
+    lm = SentenceLmCascade({"en": sb}, dense, bm25_candidates=100)
+    t0 = time.perf_counter()
+    sb.precompute_embeddings(dense)          # one-time corpus embedding pass
+    embed_s = time.perf_counter() - t0
+    lm.retrieve(queries.queries[:1], ["en"], k=10)  # warm
+    t0 = time.perf_counter()
+    res2 = lm.retrieve(queries.queries, queries.langs, k=10)
+    dt2 = time.perf_counter() - t0
+    out.update({
+        "sentence_lm_cascade_qps": round(n_queries / dt2, 1),
+        "sentence_lm_cascade_recall_at_10": round(
+            recall_at_k(res2, queries.positive_docs, 10), 4),
+        "sentence_embed_once_sec": round(embed_s, 1),
+        "n_sentences": len(sb.texts),
+        "cascade_n_docs": n_docs,
+        "cascade_n_queries": n_queries,
+    })
+    return out
 
 
 def main() -> None:
@@ -145,6 +217,11 @@ def main() -> None:
     roofline = _kernel_roofline(models[biggest], batch=256, peak_gbps=peak_gbps)
     log.info("kernel roofline (%s): %s", biggest, roofline)
 
+    cascade = {}
+    if os.environ.get("TDR_BENCH_CASCADE", "1") == "1":
+        cascade = _cascade_bench()
+        log.info("cascade bench: %s", cascade)
+
     print(json.dumps({
         "metric": "bm25_retrieval_queries_per_sec",
         "value": round(qps, 2),
@@ -158,6 +235,7 @@ def main() -> None:
             "index_build_sec": round(build_s, 1),
             "retrieve_sec": round(elapsed, 2),
             "kernel_roofline_en": roofline,
+            "cascades": cascade,
             "device": str(jax.devices()[0]),
         },
     }))

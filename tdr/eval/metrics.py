@@ -80,6 +80,7 @@ def evaluate_retrieval(
     for k in ks:
         report[f"recall@{k}"] = recall_at_k(retrieved, positives, k)
         report[f"mrr@{k}"] = mrr_at_k(retrieved, positives, k)
+    report["macro_f1@1"] = macro_f1(retrieved, positives)
     if langs is not None:
         kmax = max(ks)
         by_lang: Dict[str, List[int]] = {}

@@ -1,6 +1,12 @@
 from tdr.rank.router import LanguageRouter, build_language_models
-from tdr.rank.cascade import CascadeRetriever
+from tdr.rank.cascade import CascadeRetriever, cascade_score_topk
+from tdr.rank.sentence import (
+    SentenceBM25,
+    SentenceLmCascade,
+    candidate_union,
+)
 from tdr.rank.single_index import SingleIndexRetriever
 
 __all__ = ["LanguageRouter", "build_language_models", "CascadeRetriever",
-           "SingleIndexRetriever"]
+           "cascade_score_topk", "SentenceBM25", "SentenceLmCascade",
+           "candidate_union", "SingleIndexRetriever"]
