@@ -233,10 +233,12 @@ def _build_core(
 
 
 def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
-    """Head row count from the HBM byte budget (f32 rows)."""
+    """Head row count from the HBM byte budget (at the configured row dtype:
+    bf16 rows fit twice as many terms per byte as f32)."""
     if n_docs_pad == 0:
         return 0
-    d = int(cfg.head_budget_bytes // (4 * n_docs_pad))
+    itemsize = 2 if cfg.head_dtype == "bfloat16" else 4
+    d = int(cfg.head_budget_bytes // (itemsize * n_docs_pad))
     d = max(0, min(d, vocab_size))
     return (d // 8) * 8 if d >= 8 else (1 if d > 0 else 0)
 

@@ -5,9 +5,11 @@ Replaces the reference's Python postings-walk scorer
 doc in postings: scores[doc] += ...``) and its scipy SpMM cosine ranker
 (cosine_similarity_bm25_reranking.py:226) with batched, jittable device ops:
 
-* head terms  — `lax.scan` of dense-row gathers + VPU accumulate
-                (HBM-bandwidth bound; rows are premultiplied score rows)
+* head terms  — one full-head MXU matmul: scatter query weights into a
+                dense (Q, D) matrix, contract against the resident (D, N)
+                premultiplied score-row matrix (read once per batch)
 * tail terms  — static-width masked gathers from flat CSR + scatter-add
+                (exact path), or sort-based compaction (fused path)
 * top-k       — `lax.top_k` over the padded doc axis with -inf masking
                 (replaces np.argpartition, bm25_ranking.ipynb:206-213)
 
@@ -86,69 +88,43 @@ def _head_scores_capped(
 
 
 def _head_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray) -> jnp.ndarray:
-    """Exact head scores (no term cap): scores (Q, N_pad)."""
-    scores, _ = _head_scores_capped(index, qids, qw, qids.shape[1])
-    return scores
-
-
-_HEAD_UNIQUE = 2048  # batch-level unique head-slot budget for the matmul head
+    """Exact head scores: the full-head matmul (no cap, no overflow)."""
+    return _head_scores_matmul(index, qids, qw)
 
 
 def _head_scores_matmul(
-    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
-    max_unique: int = _HEAD_UNIQUE,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Head scores as ONE MXU matmul over the batch's unique head rows.
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray
+) -> jnp.ndarray:
+    """Head scores as ONE full-head MXU matmul: scores = W @ head_rows.
 
     The per-query gather-einsum (`_head_scores_capped`) reads up to TH head
-    rows PER QUERY — Q*TH row reads of N floats each.  Queries in a batch
-    share terms heavily (Zipf vocabulary), so this formulation gathers each
-    UNIQUE active head slot once (U rows), builds a dense (Q, U) weight
-    matrix, and contracts it against the (U, N) gathered rows in a single
-    matmul: HBM traffic drops by the term-sharing factor and the reduction
-    runs on the MXU instead of the VPU.  No per-query term cap exists on
-    this path — a query may use all T of its head terms.
-
-    Returns (scores (Q, N) f32, overflow (Q,) bool).  Overflow is set for
-    the whole batch when it has more than ``max_unique`` distinct active
-    head slots (the caller re-scores via the exact path).
+    rows PER QUERY — Q*TH row reads of N floats each — and needs a term cap
+    plus an overflow fallback.  This formulation scatters the query weights
+    into a dense (Q, D) matrix over ALL D head slots and contracts it
+    against the resident (D, N) head matrix directly: the head matrix is
+    read exactly ONCE per batch (its size is the HBM-budget the index was
+    built with, so this is the bandwidth floor for any head engine), there
+    is no gather materialization, no per-query or per-batch term cap, and
+    no overflow path.  EXACT for every query; the reduction runs on the
+    MXU.  (A batch-unique-slot gather variant was tried first — it reads
+    fewer rows but pays a (U, N) gather materialization; the full-head
+    matmul measured faster and is far simpler.)
     """
     Q, T = qids.shape
     D = index.head_rows.shape[0]
-    U = min(max_unique, Q * T)
 
     slot = index.head_slot[qids]                        # (Q, T)
     active = (slot >= 0) & (qw > 0)
-
-    BIG = jnp.int32(2**30)
-    flat = jnp.where(active, slot, BIG).reshape(-1)     # (Q*T,)
-    payload = jax.lax.broadcasted_iota(jnp.int32, (Q * T,), 0)
-    s, orig = jax.lax.sort((flat, payload), num_keys=1)
-    is_new = jnp.concatenate([s[:1] < BIG, (s[1:] != s[:-1]) & (s[1:] < BIG)])
-    n_unique = jnp.sum(is_new)
-    overflow = jnp.broadcast_to(n_unique > U, (Q,))
-
-    # rank = index of each element's unique value (duplicates share a rank)
-    rank = jnp.cumsum(is_new) - 1
-    col_sorted = jnp.clip(rank, 0, U - 1)
-    col = jnp.zeros((Q * T,), jnp.int32).at[orig].set(col_sorted)
-
-    # unique slot table at each rank (extra slot swallows inactive/overflow)
-    tbl = jnp.zeros((U + 1,), jnp.int32).at[
-        jnp.where(is_new & (rank < U), rank, U)].set(s)[:U]
-
-    rows = index.head_rows[jnp.clip(tbl, 0, max(D - 1, 0))]   # (U, N)
-
-    q_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0).reshape(-1)
-    w_flat = jnp.where(active, qw, 0.0).reshape(-1)
-    W = jnp.zeros((Q, U), jnp.float32).at[q_idx, col].add(w_flat)
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0)
+    W = jnp.zeros((Q, D), jnp.float32).at[
+        q_idx.reshape(-1), jnp.where(active, slot, 0).reshape(-1)
+    ].add(jnp.where(active, qw, 0.0).reshape(-1))
     # match the rows' dtype so the contraction is a native MXU matmul
     # (BM25 unit weights are exact in bf16; idf weights round at ~4e-3,
     # the same order as the bf16 rows themselves)
     W = W.astype(index.head_rows.dtype)
-    scores = jnp.einsum("qu,un->qn", W, rows,
-                        preferred_element_type=jnp.float32)
-    return scores, overflow
+    return jnp.einsum("qd,dn->qn", W, index.head_rows,
+                      preferred_element_type=jnp.float32)
 
 
 def _tail_scores(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
@@ -334,23 +310,27 @@ def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
     return docs, vals, active, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget", "head_unique"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget"))
 def _fused_topk_core(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
-    tail_budget: int, head_unique: int = _HEAD_UNIQUE,
+    tail_budget: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     qids = jnp.clip(qids, 0, index.vocab_size - 1)
     Q = qids.shape[0]
 
-    # 1) head scores: one MXU matmul over the batch's unique head rows
-    #    (batch-level unique cap; overflow re-scored by the wrapper)
-    head, head_ovf = _head_scores_matmul(index, qids, qw, head_unique)
+    # 1) head scores: one full-head MXU matmul — exact, no overflow path
+    head = _head_scores_matmul(index, qids, qw)
     head = mask_invalid_docs(head, index.n_docs)
     k = min(top_k, index.n_docs_pad)
     hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
 
     # 2) compacted tail slots → per-doc tail sums via sorted segment cumsum
-    docs, vals, act, overflow = _tail_compact(index, qids, qw, tail_budget)
+    #    The effective budget is floored at 4x the widest tail posting list
+    #    so ordinary multi-term queries cannot overflow into the expensive
+    #    exact fallback (tail_pmax is static, so this stays one compile).
+    budget = min(max(tail_budget, 4 * index.tail_pmax),
+                 16 * index.tail_pmax)
+    docs, vals, act, overflow = _tail_compact(index, qids, qw, budget)
     B = docs.shape[1]
     # pack the active flag into the value's sign (weights are >= 0) so the
     # doc-sort carries two operands instead of three
@@ -397,7 +377,7 @@ def _fused_topk_core(
         pad = top_k - k
         vals_out = jnp.pad(vals_out, ((0, 0), (0, pad)), constant_values=-jnp.inf)
         docs_out = jnp.pad(docs_out, ((0, 0), (0, pad)))
-    return vals_out, docs_out, overflow | head_ovf
+    return vals_out, docs_out, overflow
 
 
 @partial(jax.jit, static_argnames=("top_k", "tail_budget"))

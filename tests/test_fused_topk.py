@@ -114,31 +114,20 @@ def test_topk_2stage_exact_parity():
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
 
 
-def test_head_unique_overflow_fallback():
-    """A batch with more distinct active head slots than the matmul head's
-    unique budget must flag overflow and the wrapper must re-score exactly
-    via the scatter path."""
+def test_full_head_matmul_matches_capped_einsum():
+    """The full-head matmul engine must agree with the capped-einsum
+    reference for every query under the cap, and be exact (no cap) for
+    many-term queries where the einsum would overflow."""
     import jax.numpy as jnp
 
-    from tdr.ops.score import _fused_topk_core, _head_scores_matmul
+    from tdr.ops.score import _head_scores_capped, _head_scores_matmul
 
     rng = np.random.RandomState(13)
     vocab, coo, qids, qw = _random_world(rng)
     idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32))
-    # tiny unique budget -> guaranteed overflow on a diverse batch
-    _, ovf = _head_scores_matmul(idx, jnp.asarray(qids), jnp.asarray(qw),
-                                 max_unique=2)
-    assert bool(np.asarray(ovf).all())
-    v, d, overflow = _fused_topk_core(idx, jnp.asarray(qids), jnp.asarray(qw),
-                                      10, 1024, head_unique=2)
-    assert bool(np.asarray(overflow).any())
-    # the public wrapper path must remain exact regardless (its lax.cond
-    # replaces flagged queries with the scatter result); emulate it here
-    from tdr.ops.score import _scatter_topk
-
-    sv, sd = _scatter_topk(idx, jnp.asarray(qids), jnp.asarray(qw), 10)
-    full = np.asarray(score_batch(idx, jnp.asarray(qids), jnp.asarray(qw)))
-    for q in range(full.shape[0]):
-        np.testing.assert_allclose(np.asarray(sv)[q],
-                                   np.sort(full[q])[::-1][:10],
-                                   rtol=1e-4, atol=1e-5)
+    q_d, w_d = jnp.asarray(qids), jnp.asarray(qw)
+    ref, ovf = _head_scores_capped(idx, q_d, w_d, qids.shape[1])  # uncapped
+    got = _head_scores_matmul(idx, q_d, w_d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert not bool(np.asarray(ovf).any())
