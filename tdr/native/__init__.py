@@ -40,9 +40,13 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    src = os.path.join(_DIR, "tokenizer.cc")
+    stale = (not os.path.exists(_SO)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _DIR], check=True,
                            capture_output=True, timeout=120)
         except (subprocess.SubprocessError, OSError) as e:
             raise NativeUnavailable(f"native tokenizer build failed: {e}")
