@@ -232,6 +232,24 @@ def _build_core(
     return indptr, postings_doc, postings_w, postings_tf, head_rows, df_local, tail_df_max
 
 
+def _pad_docs(n_docs: int, cfg: IndexConfig) -> int:
+    n_docs_pad = max(_round_up(max(n_docs, 1), cfg.doc_pad_multiple),
+                     cfg.doc_pad_multiple)
+    if cfg.shape_bucketing:
+        n_docs_pad = _bucket(n_docs_pad, cfg.doc_pad_multiple)
+    return n_docs_pad
+
+
+def full_head_bytes(vocab_size: int, n_docs: int, cfg: IndexConfig) -> int:
+    """HBM bytes needed to give EVERY vocab term a dense head row — beyond
+    this the tail is empty (pure-MXU scoring) and more budget is useless.
+    Used by the router's waterfill budget split."""
+    n_docs_pad = _pad_docs(n_docs, cfg)
+    vocab_pad = _bucket(max(vocab_size, 1), 128) if cfg.shape_bucketing else vocab_size
+    itemsize = 2 if cfg.head_dtype == "bfloat16" else 4
+    return vocab_pad * n_docs_pad * itemsize
+
+
 def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
     """Head row count from the HBM byte budget (at the configured row dtype:
     bf16 rows fit twice as many terms per byte as f32)."""
@@ -282,11 +300,9 @@ def build_index(
     n_docs = int(doc_lens.shape[0])
     bucketing = index_cfg.shape_bucketing
     if n_docs_pad is None:
-        n_docs_pad = max(_round_up(max(n_docs, 1), index_cfg.doc_pad_multiple),
-                         index_cfg.doc_pad_multiple)
-        if bucketing:
-            n_docs_pad = _bucket(n_docs_pad, index_cfg.doc_pad_multiple)
+        n_docs_pad = _pad_docs(n_docs, index_cfg)
     nnz = int(doc_ids.shape[0])
+    nnz_pad_injected = nnz_pad
     if nnz_pad is None:
         nnz_pad = max(_round_up(max(nnz, 1), index_cfg.nnz_pad_multiple),
                       index_cfg.nnz_pad_multiple)
@@ -314,8 +330,10 @@ def build_index(
                     head_size = int(jnp.sum(df_g >= index_cfg.head_min_df))
                 else:
                     head_size = _auto_head_size(vocab_pad, n_docs_pad, index_cfg)
-                if bucketing and head_size > 256:
+                if bucketing and 256 < head_size < vocab_pad:
                     head_size = (head_size // 256) * 256   # floor: stay in budget
+                    # (skipped at full vocab coverage — flooring there would
+                    # re-create a tail the budget already paid to eliminate)
             head_size = min(head_size, vocab_pad)
             head_slot = select_head(df_g, head_size)
     if head_size is None:
@@ -344,6 +362,24 @@ def build_index(
             tail_pmax = _bucket(tail_pmax, 8)
         else:
             tail_pmax = max(8, _round_up(tail_pmax, 128))
+
+    # segment-DMA bounds invariant (tdr.ops.pallas_tail): a tail-segment DMA
+    # reads a 1024-aligned window of up to round_up(tail_pmax+1023, 1024)
+    # entries starting at/below the segment start (<= nnz), so the postings
+    # arrays must extend that far past the last real entry.  When nnz_pad
+    # was injected (sharded builds: every shard must share one shape) grow
+    # from the injected pad, not the local nnz, so the target is identical
+    # across shards.
+    dma_win = _round_up(tail_pmax + 1023, 1024)
+    need = (nnz_pad_injected + dma_win if nnz_pad_injected is not None
+            else nnz + dma_win)
+    if int(postings_doc.shape[0]) < need:
+        grow = (_bucket(need, index_cfg.nnz_pad_multiple) if bucketing
+                else _round_up(need, index_cfg.nnz_pad_multiple))
+        pad = grow - int(postings_doc.shape[0])
+        postings_doc = jnp.pad(postings_doc, (0, pad))
+        postings_w = jnp.pad(postings_w, (0, pad))
+        postings_tf = jnp.pad(postings_tf, (0, pad))
 
     stats = IndexStats(df=df_local, idf=jnp.asarray(idf, dtype=jnp.float32),
                        doc_len=jnp.asarray(dl),

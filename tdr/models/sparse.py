@@ -32,6 +32,18 @@ class SparseModel:
     query_weight: str = "unit"        # "unit" (BM25) | "idf" (cosine)
     tail_budget: int = 1024           # fused-topk tail compaction budget
     use_fused_topk: bool = True       # sort-based exact top-k (no scatter)
+    # tail compaction engine: "auto" picks the segment-DMA Pallas kernel on
+    # TPU (tdr.ops.pallas_tail) and the XLA sort-compactor elsewhere;
+    # "pallas_interpret" forces the kernel through the interpreter (tests)
+    tail_engine: str = "auto"
+
+    def _resolved_tail_engine(self) -> str:
+        if self.tail_engine == "auto":
+            from tdr.ops.pallas_tail import pallas_tail_available
+
+            self.tail_engine = (
+                "pallas" if pallas_tail_available(self.index) else "xla")
+        return self.tail_engine
 
     # -- query encoding ------------------------------------------------------
 
@@ -72,7 +84,8 @@ class SparseModel:
         qids, qw = self.encode_query_tokens(token_lists)
         if self.use_fused_topk:
             vals, rows = score_and_topk_fused(self.index, qids, qw, top_k=k,
-                                              tail_budget=self.tail_budget)
+                                              tail_budget=self.tail_budget,
+                                              tail_engine=self._resolved_tail_engine())
         else:
             vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
         return vals, rows, n

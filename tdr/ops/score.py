@@ -310,10 +310,10 @@ def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
     return docs, vals, active, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine"))
 def _fused_topk_core(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
-    tail_budget: int,
+    tail_budget: int, tail_engine: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     qids = jnp.clip(qids, 0, index.vocab_size - 1)
     Q = qids.shape[0]
@@ -324,17 +324,37 @@ def _fused_topk_core(
     k = min(top_k, index.n_docs_pad)
     hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
 
+    # full-vocab head (the waterfill budget split saturates small-vocab
+    # languages, router.py): every term is a head row, the tail is empty —
+    # scoring IS the matmul + top_k, skip the tail machinery entirely
+    if index.head_size >= index.vocab_size:
+        if k < top_k:
+            pad = top_k - k
+            hv = jnp.pad(hv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            hi = jnp.pad(hi, ((0, 0), (0, pad)))
+        return hv, hi, jnp.zeros((Q,), bool)
+
     # 2) compacted tail slots → per-doc tail sums via sorted segment cumsum
     #    The effective budget is floored at 4x the widest tail posting list
     #    so ordinary multi-term queries cannot overflow into the expensive
     #    exact fallback (tail_pmax is static, so this stays one compile).
     budget = min(max(tail_budget, 4 * index.tail_pmax),
                  16 * index.tail_pmax)
-    docs, vals, act, overflow = _tail_compact(index, qids, qw, budget)
+    if tail_engine in ("pallas", "pallas_interpret"):
+        # segment-DMA compactor (tdr.ops.pallas_tail): contiguous per-term
+        # DMA instead of per-element gathers; vals come -1-encoded
+        from tdr.ops.pallas_tail import tail_compact_pallas
+
+        docs, v_enc, overflow = tail_compact_pallas(
+            index, qids, qw, budget,
+            interpret=(tail_engine == "pallas_interpret"))
+    else:
+        docs, vals, act, overflow = _tail_compact(index, qids, qw, budget)
+        # pack the active flag into the value's sign (weights are >= 0) so
+        # the doc-sort carries two operands instead of three
+        v_enc = jnp.where(act, vals, -1.0)
     B = docs.shape[1]
-    # pack the active flag into the value's sign (weights are >= 0) so the
-    # doc-sort carries two operands instead of three
-    d_s, v_s = jax.lax.sort((docs, jnp.where(act, vals, -1.0)), num_keys=1)
+    d_s, v_s = jax.lax.sort((docs, v_enc), num_keys=1)
     m_s = v_s >= 0
     v_s = jnp.maximum(v_s, 0.0)
 
@@ -380,27 +400,31 @@ def _fused_topk_core(
     return vals_out, docs_out, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine"))
 def score_and_topk_fused(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10,
-    tail_budget: int = 2048,
+    tail_budget: int = 2048, tail_engine: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k without the tail scatter (the scatter dominates
     `score_and_topk` ~10x on TPU).
 
     Decomposition:  score(d) = head(d) + tail(d), where tail(d) != 0 for at
     most `tail_budget` docs per query (checked).  Head scores are dense VPU
-    row accumulates; tail postings are compacted to the budget with a ~free
-    TPU sort BEFORE any random gather, summed per doc with a sorted segment
-    cumsum, and merged with the head top-k via a top-2k + dedupe that is
-    provably exact (see _fused_topk_core).
+    row accumulates; tail postings are compacted to the budget BEFORE any
+    random gather — by a ~free TPU sort (tail_engine="xla") or by the
+    contiguous segment-DMA Pallas kernel (tail_engine="pallas",
+    tdr.ops.pallas_tail; "pallas_interpret" runs it in the interpreter for
+    CPU tests) — summed per doc with a sorted segment cumsum, and merged
+    with the head top-k via a top-2k + dedupe that is provably exact (see
+    _fused_topk_core).
 
     Queries that exceed the head-term cap or tail budget (rare: many terms
     in one query) are re-scored by the exact scatter path — inside a
     `lax.cond`, so the common no-overflow case pays neither the scatter
     compute nor a host round-trip for the overflow flag.
     """
-    vals, docs, overflow = _fused_topk_core(index, qids, qw, top_k, tail_budget)
+    vals, docs, overflow = _fused_topk_core(index, qids, qw, top_k,
+                                            tail_budget, tail_engine)
 
     def fallback(args):
         vals, docs, overflow = args

@@ -27,19 +27,20 @@ from tdr.ops.score import NEG_INF, score_and_topk_fused, score_pairs
 from tdr.text.preprocess import Preprocessor
 
 
-@partial(jax.jit, static_argnames=("C", "k", "tail_budget"))
+@partial(jax.jit, static_argnames=("C", "k", "tail_budget", "tail_engine"))
 def cascade_score_topk(
     cand_index, rank_index,
     qids1: jnp.ndarray, qw1: jnp.ndarray,      # stage-1 encoding (cand vocab)
     qids2: jnp.ndarray, qw2: jnp.ndarray,      # stage-2 encoding (rank vocab)
-    C: int, k: int, tail_budget: int,
+    C: int, k: int, tail_budget: int, tail_engine: str = "xla",
 ):
     """Both cascade stages in ONE device dispatch (no host hop between
     stages): wide fused top-C candidates → binary-search CSR re-score →
     final top-k.  The reference runs stage-1-then-stage-2 with a host round
     trip (cosine_similarity_bm25_reranking.py:228-236)."""
     vals1, cand_rows = score_and_topk_fused(
-        cand_index, qids1, qw1, top_k=C, tail_budget=tail_budget)
+        cand_index, qids1, qw1, top_k=C, tail_budget=tail_budget,
+        tail_engine=tail_engine)
     re_scores = score_pairs(rank_index, qids2, qw2, cand_rows)
     re_scores = jnp.where(jnp.isfinite(vals1), re_scores, NEG_INF)
     vals, sel = jax.lax.top_k(re_scores, min(k, C))
@@ -93,7 +94,10 @@ class CascadeRetriever:
                     vals, rows = cascade_score_topk(
                         cand_m.index, rank_m.index, qids1, qw1, qids2, qw2,
                         C=C, k=min(k, C),
-                        tail_budget=getattr(cand_m, "tail_budget", 1024))
+                        tail_budget=getattr(cand_m, "tail_budget", 1024),
+                        tail_engine=(cand_m._resolved_tail_engine()
+                                     if hasattr(cand_m, "_resolved_tail_engine")
+                                     else "xla"))
                     vals = np.asarray(vals)[:n_chunk]
                     rows = np.asarray(rows)[:n_chunk]
                     for j, (rr, vv) in zip(sel, zip(rows, vals)):

@@ -61,16 +61,11 @@ def build_language_models(
     n_total = max(len(corpus.langs), 1)
     import dataclasses as _dc
 
+    from tdr.text.vocab import build_vocab, encode_docs
+
+    # --- phase 1: preprocess + encode every (non-resumed) language --------
+    encoded: Dict[str, tuple] = {}   # lang -> (vocab, coo, docids, n_docs)
     for lang, rows in sorted(by_lang.items()):
-        # head_budget_bytes is the TOTAL dense-head budget for the corpus;
-        # each language gets its document share (a tiny language otherwise
-        # builds a head as large as the dominant one, and with 7 resident
-        # indexes the sum can exceed HBM — measured as a 20x end-to-end
-        # slowdown from memory churn at reference fidelity)
-        lang_cfg = _dc.replace(
-            index_cfg,
-            head_budget_bytes=max(index_cfg.head_budget_bytes * len(rows) // n_total,
-                                  64 << 20))
         if resume_dir is not None:
             import os
 
@@ -81,25 +76,48 @@ def build_language_models(
                 models[lang] = load_sparse_model(lang_dir)
                 log.info("resumed '%s' model from %s", lang, lang_dir)
                 continue
-        with tracer.span(f"build:{lang}", n_docs=len(rows)):
+        with tracer.span(f"encode:{lang}", n_docs=len(rows)):
             docids = [corpus.docids[i] for i in rows]
-            kwargs = dict(lang=lang, index_cfg=lang_cfg,
-                          max_query_terms=max_query_terms, head_size=head_size)
-            if model_cls is BM25Model:
-                kwargs["bm25"] = bm25
             if fast:
                 from tdr.text.fast import fast_encode_corpus
 
                 texts = [corpus.texts[i] for i in rows]
                 vocab, *coo = fast_encode_corpus(
-                    texts, [lang] * len(rows), min_df=lang_cfg.min_df)
-                models[lang] = model_cls.from_coo(vocab, tuple(coo), docids,
-                                                  **kwargs)
+                    texts, [lang] * len(rows), min_df=index_cfg.min_df)
+                coo = tuple(coo)
             else:
                 toks = [pp(corpus.texts[i], lang) for i in rows]
-                models[lang] = model_cls.build(toks, docids, **kwargs)
+                vocab = build_vocab(toks, min_df=index_cfg.min_df)
+                coo = encode_docs(toks, vocab)
+            encoded[lang] = (vocab, coo, docids, len(rows))
+
+    # --- phase 2: waterfill the TOTAL dense-head budget -------------------
+    # Baseline share is the language's document count (a tiny language must
+    # not build a head as large as the dominant one: with 7 resident
+    # indexes the sum can exceed HBM — measured as a 20x end-to-end
+    # slowdown from memory churn at reference fidelity).  But no language
+    # is handed more than it can USE: once the head covers the whole vocab
+    # the tail is empty (pure-MXU scoring) and extra budget is dead weight,
+    # so saturated languages donate their surplus to the still-hungry ones
+    # (a small-vocab dominant language — e.g. en without bigrams — then
+    # scores entirely on the head matmul).
+    from tdr.index.build import full_head_bytes
+
+    stats = {lang: (full_head_bytes(vocab.size, n, index_cfg), float(n))
+             for lang, (vocab, _, _, n) in encoded.items()}
+    allocs = _waterfill_head_budget(index_cfg.head_budget_bytes, stats)
+
+    # --- phase 3: build one index per language ----------------------------
+    for lang, (vocab, coo, docids, n) in encoded.items():
+        lang_cfg = _dc.replace(index_cfg, head_budget_bytes=allocs[lang])
+        with tracer.span(f"build:{lang}", n_docs=n):
+            kwargs = dict(lang=lang, index_cfg=lang_cfg,
+                          max_query_terms=max_query_terms, head_size=head_size)
+            if model_cls is BM25Model:
+                kwargs["bm25"] = bm25
+            models[lang] = model_cls.from_coo(vocab, coo, docids, **kwargs)
         log.info("built %s model for '%s': %d docs, vocab %d, head %d, tail_pmax %d",
-                 model_cls.__name__, lang, len(rows),
+                 model_cls.__name__, lang, n,
                  models[lang].vocab.size, models[lang].index.head_size,
                  models[lang].index.tail_pmax)
         if resume_dir is not None:
@@ -109,6 +127,39 @@ def build_language_models(
 
             save_sparse_model(os.path.join(resume_dir, lang), models[lang])
     return models
+
+
+def _waterfill_head_budget(
+    total_bytes: int, stats: Dict[str, Tuple[int, float]],
+    floor_bytes: int = 64 << 20,
+) -> Dict[str, int]:
+    """Split ``total_bytes`` of head budget: shares proportional to weight
+    (doc count), capped at each language's ``need`` (full-vocab coverage),
+    surplus re-poured over the still-hungry languages until spent.
+
+    ``stats``: {lang: (need_bytes, weight)} → {lang: alloc_bytes}."""
+    alloc: Dict[str, int] = {}
+    hungry = dict(stats)
+    budget = int(total_bytes)
+    while hungry and budget > 0:
+        wsum = sum(w for _, w in hungry.values())
+        if wsum <= 0:
+            break
+        saturated = {
+            lang: need for lang, (need, w) in hungry.items()
+            if need <= int(budget * w / wsum)
+        }
+        if not saturated:
+            for lang, (_, w) in hungry.items():
+                alloc[lang] = int(budget * w / wsum)
+            break
+        for lang, need in saturated.items():
+            alloc[lang] = need
+            budget -= need
+            del hungry[lang]
+    for lang in stats:
+        alloc[lang] = max(alloc.get(lang, 0), floor_bytes)
+    return alloc
 
 
 @dataclass
