@@ -206,10 +206,13 @@ def main() -> None:
 
     router = LanguageRouter(models, query_batch=256)
 
-    # warmup: one padded batch per language compiles the single query shape
+    # warmup: one padded batch per language compiles the single query
+    # shape, then one FULL pass compiles the result-gather stack (its
+    # shape depends on the total batch count)
     for l in sorted(set(queries.langs)):
         i = queries.langs.index(l)
         router.retrieve([queries.queries[i]], [l], k=10)
+    router.retrieve(queries.queries, queries.langs, k=10)
 
     t0 = time.perf_counter()
     results = router.retrieve(queries.queries, queries.langs, k=10)

@@ -305,7 +305,11 @@ TdrResult* tdr_tokenize_batch(
         cp = normalize_arabic_cp(cp);
         if (cp == 0) continue;
       }
-      bool word = is_word_cp(cp);
+      // '_' parity is mode-dependent: the latin pipeline translates
+      // string.punctuation (incl '_') to spaces before tokenizing, but the
+      // ar/ko pipelines tokenize the raw text where '_' is a word char
+      // (preprocess.py: only the 'else' branch applies _PUNCT_TABLE)
+      bool word = is_word_cp(cp) || (cp == '_' && mode != 'l');
       if (!word) {
         if (mode == 'k') { flush_korean(); }
         flush_token(mode == 'k' ? 'x' : mode);

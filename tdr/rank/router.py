@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple, Type
 
+import jax.numpy as jnp
 import numpy as np
 
 from tdr.data.loaders import Corpus
@@ -162,6 +163,22 @@ def _waterfill_head_budget(
     return alloc
 
 
+def _gather_pending(vals_list, rows_list):
+    """Stack per-batch (B, k) results on device and pull them to the host
+    in ONE transfer.  Packing happens in the INTEGER domain (scores bitcast
+    to int32 bits, not rows to f32): doc rows < 2^23 are f32 denormals,
+    and TPU vector copies flush denormals to zero — rows-as-f32 silently
+    zeroed every result (caught as recall=0 in the bench)."""
+    import jax
+
+    packed = jnp.stack(
+        [jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32)
+                    for v in vals_list]),
+         jnp.stack(rows_list)])
+    host = np.asarray(packed)
+    return host[0].view(np.float32), host[1]
+
+
 @dataclass
 class LanguageRouter:
     """Routes queries to per-language models and merges results in input
@@ -172,6 +189,23 @@ class LanguageRouter:
     query_batch: int = 128
     default_lang: str = "en"
     detect_missing_lang: bool = True   # fast_langdetect path (team_run1.py:49-77)
+    use_native: bool = True            # C++ tokenizer for query preprocessing
+
+    def _tokenize(self, queries: Sequence[str], q_idx: Sequence[int],
+                  lang: str) -> List[List[str]]:
+        """Tokenize one language group — native batch path when the default
+        "best" pipeline is in play (query preprocessing was ~35% of warm
+        end-to-end retrieval on the Python path), else the Python
+        preprocessor."""
+        if self.use_native and self.preprocessor.spec.name == "best":
+            from tdr.text.fast import fast_available
+
+            if fast_available():
+                from tdr.text.fast import fast_tokenize_texts
+
+                return fast_tokenize_texts(
+                    [queries[i] for i in q_idx], lang)
+        return [self.preprocessor(queries[i], lang) for i in q_idx]
 
     def _group(self, langs: Optional[Sequence[str]], queries: Sequence[str]) -> Dict[str, List[int]]:
         groups: Dict[str, List[int]] = {}
@@ -201,23 +235,36 @@ class LanguageRouter:
         pending = []
         for lang, q_idx in self._group(langs, queries).items():
             model = self.models[lang]
-            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            toks = self._tokenize(queries, q_idx, lang)
             for s in range(0, len(q_idx), self.query_batch):
                 chunk = toks[s : s + self.query_batch]
-                hasattr_async = hasattr(model, "topk_tokens_async")
-                if hasattr_async:
+                sel = q_idx[s : s + self.query_batch]
+                if hasattr(model, "topk_tokens_async"):
                     vals, rows, n = model.topk_tokens_async(
                         chunk, k, pad_to=self.query_batch)
+                    pending.append((model, sel, vals, rows, n))
                 else:
+                    # sharded models return trimmed host arrays — resolve
+                    # inline (their collective already synced the device)
                     vals, rows = model.topk_tokens(chunk, k,
                                                    pad_to=self.query_batch)
-                    n = len(chunk)
-                pending.append((model, q_idx[s : s + self.query_batch],
-                                vals, rows, n))
-        # phase 2: block once per batch, in dispatch order
-        for model, sel, vals, rows, n in pending:
-            vals = np.asarray(vals)[:n]
-            rows = np.asarray(rows)[:n]
+                    for j, (v, rr) in zip(sel, zip(vals, rows)):
+                        results[j] = [model.docids[r]
+                                      for r, vv in zip(rr, v)
+                                      if np.isfinite(vv)]
+        # phase 2: ONE device-side stack + ONE host transfer.  Every
+        # np.asarray of a device array is a full RPC round trip on remote
+        # backends (measured 30-50 ms each on the axon tunnel); converting
+        # per batch serialized 2 round trips x n_batches and dominated
+        # end-to-end retrieval.  All batches share the (query_batch, k)
+        # shape, so the results stack — rows bitcast to f32 lanes — into a
+        # single array pulled in one go.
+        if pending:
+            vals_all, rows_all = _gather_pending(
+                [p[2] for p in pending], [p[3] for p in pending])
+        for i, (model, sel, _, _, n) in enumerate(pending):
+            vals = vals_all[i][:n]
+            rows = rows_all[i][:n]
             for j, (v, rr) in zip(sel, zip(vals, rows)):
                 results[j] = [model.docids[r] for r, vv in zip(rr, v)
                               if np.isfinite(vv)]
@@ -229,15 +276,31 @@ class LanguageRouter:
     ) -> Tuple[List[List[str]], np.ndarray]:
         docid_out: List[Optional[List[str]]] = [None] * len(queries)
         score_out = np.zeros((len(queries), k), np.float32)
+        pending = []
         for lang, q_idx in self._group(langs, queries).items():
             model = self.models[lang]
-            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            toks = self._tokenize(queries, q_idx, lang)
             for s in range(0, len(q_idx), self.query_batch):
                 sel = q_idx[s : s + self.query_batch]
-                vals, rows = model.topk_tokens(toks[s : s + self.query_batch], k,
-                                               pad_to=self.query_batch)
-                for j, (v, rr) in zip(sel, zip(vals, rows)):
-                    docid_out[j] = [model.docids[r] for r, vv in zip(rr, v)
-                                    if np.isfinite(vv)]
-                    score_out[j] = v
+                chunk = toks[s : s + self.query_batch]
+                if hasattr(model, "topk_tokens_async"):
+                    vals, rows, n = model.topk_tokens_async(
+                        chunk, k, pad_to=self.query_batch)
+                    pending.append((model, sel, vals, rows, n))
+                else:
+                    vals, rows = model.topk_tokens(chunk, k,
+                                                   pad_to=self.query_batch)
+                    for j, (v, rr) in zip(sel, zip(vals, rows)):
+                        docid_out[j] = [model.docids[r]
+                                        for r, vv in zip(rr, v)
+                                        if np.isfinite(vv)]
+                        score_out[j] = v
+        if pending:
+            vals_all, rows_all = _gather_pending(
+                [p[2] for p in pending], [p[3] for p in pending])
+        for i, (model, sel, _, _, n) in enumerate(pending):
+            for j, (v, rr) in zip(sel, zip(vals_all[i][:n], rows_all[i][:n])):
+                docid_out[j] = [model.docids[r] for r, vv in zip(rr, v)
+                                if np.isfinite(vv)]
+                score_out[j] = v
         return [r if r is not None else [] for r in docid_out], score_out

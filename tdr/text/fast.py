@@ -32,6 +32,7 @@ from tdr.text.vocab import Vocab
 from tdr.utils.trace import log
 
 _LANG_MODE = {"ar": "a", "ko": "k"}
+_NORM_MEMO: Dict[tuple, Dict[str, str]] = {}
 
 
 def _native_tokenize_lang(texts, lang, pipeline="best"):
@@ -140,6 +141,40 @@ def fast_encode_corpus(
 
     vocab = Vocab(stem_strings, df, n_docs, pair_to_id=pair_to_id)
     return vocab, doc_ids, term_ids, tfs, doc_lens
+
+
+def fast_tokenize_texts(
+    texts: Sequence[str], lang: str, pipeline: str = "best",
+) -> list:
+    """Token lists via the native tokenizer + unique-vocab normalization —
+    the query-side analogue of ``fast_encode_corpus``.  Semantics match
+    ``Preprocessor(pipeline)`` for the "best" pipeline (same C++ scan,
+    stopword set, normalizer and joined-bigram augmentation; parity-tested
+    in tests/test_native.py) at a fraction of the per-text Python cost —
+    query preprocessing was ~35% of warm end-to-end retrieval."""
+    raw_ids, doc_offsets, raw_vocab = _native_tokenize_lang(
+        list(texts), lang, pipeline)
+    normalize = normalizer_for(lang, "best" if pipeline == "best" else "none")
+    # memoized across calls: morphy/snowball normalization of the unique
+    # raw vocabulary dominates this function otherwise (same reason
+    # Preprocessor keeps a per-language memo)
+    memo = _NORM_MEMO.setdefault((lang, pipeline), {})
+    norm = [None] * len(raw_vocab)
+    for i, t in enumerate(raw_vocab):
+        s = memo.get(t)
+        if s is None:
+            s = normalize(t.lower())
+            memo[t] = s
+        norm[i] = s
+    bigrams = lang in BIGRAM_LANGS and pipeline == "best"
+    out = []
+    for i in range(len(texts)):
+        toks = [norm[r] for r in raw_ids[doc_offsets[i]:doc_offsets[i + 1]]]
+        toks = [t for t in toks if t]
+        if bigrams and len(toks) > 1:
+            toks = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        out.append(toks)
+    return out
 
 
 def fast_available() -> bool:

@@ -132,3 +132,30 @@ def test_tricky_characters_match_python_pipeline():
         sorted(set(fa_counts) - set(py_counts))[:10],
     )
     np.testing.assert_array_equal(fa_lens, py_lens)
+
+
+@pytest.mark.parametrize("lang", sorted(SENTENCES))
+def test_fast_tokenize_texts_matches_python(lang):
+    """Query-side native tokenization (router fast path) must produce the
+    SAME ordered token lists as Preprocessor("best") — including joined
+    bigrams for the latin languages."""
+    from tdr.text.fast import fast_tokenize_texts
+
+    texts = SENTENCES[lang] + ["", "   ", "quick_brown under_score"]
+    pp = Preprocessor("best")
+    py = [pp(t, lang) for t in texts]
+    fa = fast_tokenize_texts(texts, lang)
+    assert fa == py
+
+
+def test_fast_tokenize_synthetic_queries_match():
+    from tdr.text.fast import fast_tokenize_texts
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=300, n_queries=60, seed=5, hard=True))
+    pp = Preprocessor("best")
+    by_lang = {}
+    for q, l in zip(queries.queries, queries.langs):
+        by_lang.setdefault(l, []).append(q)
+    for lang, qs in sorted(by_lang.items()):
+        assert fast_tokenize_texts(qs, lang) == [pp(q, lang) for q in qs], lang

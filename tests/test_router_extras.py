@@ -63,3 +63,22 @@ class TestResumableBuild:
         r2 = LanguageRouter(m2, query_batch=16).retrieve(
             queries.queries, queries.langs, k=10)
         assert r1 == r2
+
+
+def test_gather_pending_bit_exact():
+    """Single-transfer result gather must be bit-exact for doc rows below
+    2^23 (f32-denormal bit patterns: packing rows as f32 lanes flushed
+    them to zero on TPU — recall collapsed to 0; pack in int domain)."""
+    import jax.numpy as jnp
+
+    from tdr.rank.router import _gather_pending
+
+    rng = np.random.RandomState(0)
+    vals_list = [jnp.asarray(rng.rand(32, 10).astype(np.float32))
+                 for _ in range(3)]
+    rows_list = [jnp.asarray(rng.randint(0, 1 << 22, (32, 10)).astype(np.int32))
+                 for _ in range(3)]
+    v, r = _gather_pending(vals_list, rows_list)
+    for i in range(3):
+        assert np.array_equal(v[i], np.asarray(vals_list[i]))
+        assert np.array_equal(r[i], np.asarray(rows_list[i]))
