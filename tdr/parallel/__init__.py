@@ -1,4 +1,5 @@
 from tdr.parallel.mesh import make_mesh, data_sharding, replicated
+from tdr.parallel.pipeline import PipelinedCascade
 from tdr.parallel.sharded import (
     ShardedSparseIndex,
     build_sharded_index,
@@ -10,6 +11,7 @@ __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated",
+    "PipelinedCascade",
     "ShardedSparseIndex",
     "build_sharded_index",
     "sharded_score_topk",

@@ -41,9 +41,21 @@ def cascade_score_topk(
     vals1, cand_rows = score_and_topk_fused(
         cand_index, qids1, qw1, top_k=C, tail_budget=tail_budget,
         tail_engine=tail_engine)
+    return rerank_pairs_topk(rank_index, qids2, qw2, cand_rows, vals1,
+                             min(k, C))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def rerank_pairs_topk(
+    rank_index, qids2: jnp.ndarray, qw2: jnp.ndarray,
+    cand_rows: jnp.ndarray, vals1: jnp.ndarray, k: int,
+):
+    """Stage-2 alone: exact re-rank of explicit candidate rows (binary-
+    search CSR pair scorer) + final top-k.  Split out so the mesh-subset
+    pipeline (tdr.parallel.pipeline) can run it on its own device group."""
     re_scores = score_pairs(rank_index, qids2, qw2, cand_rows)
     re_scores = jnp.where(jnp.isfinite(vals1), re_scores, NEG_INF)
-    vals, sel = jax.lax.top_k(re_scores, min(k, C))
+    vals, sel = jax.lax.top_k(re_scores, k)
     rows = jnp.take_along_axis(cand_rows, sel, axis=1)
     return vals, rows
 

@@ -180,3 +180,54 @@ def test_spmd_global_stats_match_host(world):
         np.concatenate([term_ids, np.full(16, vocab.size, np.int32)])), vocab.size)
     np.testing.assert_allclose(np.asarray(df_spmd), np.asarray(df_host))
     np.testing.assert_allclose(float(total_spmd), float(doc_lens.sum()))
+
+
+class TestPipelinedCascade:
+    """Mesh-subset pipeline parallelism (tdr.parallel.pipeline): stage-1
+    candidate scan on one device, stage-2 re-rank on another, equivalent
+    to the single-device cascade."""
+
+    def _models(self):
+        from tdr.models import BM25Model, TfidfCosineModel
+        from tdr.text import Preprocessor
+        from tdr.utils.config import IndexConfig
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=400, n_queries=40, seed=9, hard=True,
+                          langs=("en",), ref_proportions=False))
+        pp = Preprocessor("best")
+        toks = [pp(t, "en") for t in corpus.texts]
+        cfg = IndexConfig(head_budget_bytes=1 << 18)
+        cand = TfidfCosineModel.build(toks, corpus.docids, lang="en",
+                                      index_cfg=cfg)
+        rank = BM25Model.build(toks, corpus.docids, lang="en", index_cfg=cfg)
+        return cand, rank, corpus, queries
+
+    def test_matches_single_device_cascade(self):
+        from tdr.parallel import PipelinedCascade
+        from tdr.rank import CascadeRetriever
+
+        cand, rank, corpus, queries = self._models()
+        devs = jax.devices()
+        assert len(devs) >= 2
+        pipe = PipelinedCascade(cand, rank, stage1_device=devs[0],
+                                stage2_device=devs[1], candidates=50,
+                                query_batch=16)
+        got = pipe.retrieve(queries.queries, "en", k=10)
+
+        single = CascadeRetriever({"en": cand}, {"en": rank}, candidates=50,
+                                  query_batch=16)
+        want = single.retrieve(queries.queries, ["en"] * len(queries.queries),
+                               k=10)
+        assert got == want
+
+    def test_stage_indices_live_on_their_groups(self):
+        from tdr.parallel import PipelinedCascade
+
+        cand, rank, _, _ = self._models()
+        devs = jax.devices()
+        pipe = PipelinedCascade(cand, rank, stage1_device=devs[0],
+                                stage2_device=devs[1])
+        d1 = list(pipe._idx1.head_rows.devices())
+        d2 = list(pipe._idx2.head_rows.devices())
+        assert d1 == [devs[0]] and d2 == [devs[1]]
