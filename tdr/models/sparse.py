@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tdr.index.build import SparseIndex, build_index, build_tfidf_index
-from tdr.ops.score import score_and_topk, score_and_topk_fused, score_pairs
+from tdr.ops.score import (
+    score_and_topk,
+    score_and_topk_fused,
+    score_candidates_fused,
+    score_pairs,
+)
 from tdr.text.vocab import Vocab, build_vocab, encode_docs, encode_queries
 from tdr.utils.config import BM25Config, IndexConfig
 
@@ -105,9 +110,14 @@ class SparseModel:
     def score_candidates_tokens(
         self, token_lists: Sequence[Sequence[str]], cand_rows: np.ndarray
     ) -> np.ndarray:
-        """(Q, C) scores for explicit candidate rows (cascade re-rank)."""
+        """(Q, C) scores for explicit candidate rows (cascade re-rank) —
+        fused engine (head matmul + compacted-tail match); the binary-search
+        ``score_pairs`` stays available as the f32-exact oracle."""
         qids, qw = self.encode_query_tokens(token_lists)
-        return np.asarray(score_pairs(self.index, qids, qw, jnp.asarray(cand_rows)))
+        return np.asarray(score_candidates_fused(
+            self.index, qids, qw, jnp.asarray(cand_rows),
+            tail_budget=self.tail_budget,
+            tail_engine=self._resolved_tail_engine()))
 
 
 @dataclass

@@ -440,6 +440,68 @@ def score_and_topk_fused(
                         (vals, docs, overflow))
 
 
+@partial(jax.jit, static_argnames=("tail_budget", "tail_engine"))
+def score_candidates_fused(
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
+    cand: jnp.ndarray, tail_budget: int = 2048, tail_engine: str = "xla",
+) -> jnp.ndarray:
+    """(Q, C) scores for explicit candidate rows via the fused decomposition.
+
+    ``score_pairs`` walks a 32-step binary search whose (Q, T, C) gathers
+    cost ~100M element loads per 256-query batch (~0.9 s measured on v5e —
+    it dominated the cascade).  Here: head scores come from the full-head
+    matmul (read once) gathered at the candidates; tail contributions from
+    the compacted (docs, vals) slots matched against the candidates with a
+    chunked equality-weighted sum (VPU compares, no random gathers).
+    Matches ``score_pairs`` up to head-row dtype rounding (bf16 heads);
+    exact for f32 heads.  Queries whose tail overflows the budget fall
+    back to ``score_pairs`` rows inside the same jit.
+    """
+    Q, C = cand.shape
+    qids = jnp.clip(qids, 0, index.vocab_size - 1)
+    head = _head_scores_matmul(index, qids, qw)               # (Q, N)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (Q, C), 0) * index.n_docs_pad
+            + jnp.clip(cand, 0, index.n_docs_pad - 1))
+    head_at = jnp.take(head.reshape(-1), flat.reshape(-1)).reshape(Q, C)
+
+    if index.head_size >= index.vocab_size:
+        return head_at                                        # empty tail
+
+    budget = min(max(tail_budget, 4 * index.tail_pmax), 16 * index.tail_pmax)
+    if tail_engine in ("pallas", "pallas_interpret"):
+        from tdr.ops.pallas_tail import tail_compact_pallas
+
+        docs, v_enc, overflow = tail_compact_pallas(
+            index, qids, qw, budget,
+            interpret=(tail_engine == "pallas_interpret"))
+    else:
+        docs, vals, act, overflow = _tail_compact(index, qids, qw, budget)
+        v_enc = jnp.where(act, vals, -1.0)
+    v_pos = jnp.maximum(v_enc, 0.0)                           # dead lanes -> 0
+
+    # chunked equality-weighted sum: tail_at[q, c] = sum_w v[q,w]*(docs==cand)
+    CH = 16
+    n_ch = (C + CH - 1) // CH
+    cand_p = jnp.pad(cand, ((0, 0), (0, n_ch * CH - C)), constant_values=-1)
+    cand_ch = cand_p.reshape(Q, n_ch, CH).transpose(1, 0, 2)  # (n_ch, Q, CH)
+
+    def step(_, cc):
+        eq = docs[:, None, :] == cc[:, :, None]               # (Q, CH, W)
+        return None, jnp.sum(jnp.where(eq, v_pos[:, None, :], 0.0), axis=2)
+
+    _, tail_ch = jax.lax.scan(step, None, cand_ch)            # (n_ch, Q, CH)
+    tail_at = tail_ch.transpose(1, 0, 2).reshape(Q, n_ch * CH)[:, :C]
+    fused = head_at + tail_at
+
+    def fallback(args):
+        fused, overflow = args
+        exact = score_pairs(index, qids, qw, cand)
+        return jnp.where(overflow[:, None], exact, fused)
+
+    return jax.lax.cond(jnp.any(overflow), fallback,
+                        lambda a: a[0], (fused, overflow))
+
+
 @jax.jit
 def score_pairs(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, cand: jnp.ndarray

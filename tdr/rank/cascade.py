@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tdr.models.sparse import SparseModel
-from tdr.ops.score import NEG_INF, score_and_topk_fused, score_pairs
+from tdr.ops.score import (
+    NEG_INF,
+    score_and_topk_fused,
+    score_candidates_fused,
+    score_pairs,
+)
 from tdr.text.preprocess import Preprocessor
 
 
@@ -42,18 +47,32 @@ def cascade_score_topk(
         cand_index, qids1, qw1, top_k=C, tail_budget=tail_budget,
         tail_engine=tail_engine)
     return rerank_pairs_topk(rank_index, qids2, qw2, cand_rows, vals1,
-                             min(k, C))
+                             min(k, C), tail_budget=tail_budget,
+                             tail_engine=tail_engine)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "tail_budget", "tail_engine",
+                                   "exact_pairs"))
 def rerank_pairs_topk(
     rank_index, qids2: jnp.ndarray, qw2: jnp.ndarray,
     cand_rows: jnp.ndarray, vals1: jnp.ndarray, k: int,
+    tail_budget: int = 2048, tail_engine: str = "xla",
+    exact_pairs: bool = False,
 ):
-    """Stage-2 alone: exact re-rank of explicit candidate rows (binary-
-    search CSR pair scorer) + final top-k.  Split out so the mesh-subset
-    pipeline (tdr.parallel.pipeline) can run it on its own device group."""
-    re_scores = score_pairs(rank_index, qids2, qw2, cand_rows)
+    """Stage-2 alone: re-rank explicit candidate rows + final top-k.  Split
+    out so the mesh-subset pipeline (tdr.parallel.pipeline) can run it on
+    its own device group.
+
+    Default engine is ``score_candidates_fused`` (head matmul + compacted-
+    tail candidate match — the binary-search pair scorer's per-step gathers
+    measured ~0.9 s per 256-query batch and dominated the cascade);
+    ``exact_pairs=True`` keeps the f32-exact binary-search scorer."""
+    if exact_pairs:
+        re_scores = score_pairs(rank_index, qids2, qw2, cand_rows)
+    else:
+        re_scores = score_candidates_fused(
+            rank_index, qids2, qw2, cand_rows,
+            tail_budget=tail_budget, tail_engine=tail_engine)
     re_scores = jnp.where(jnp.isfinite(vals1), re_scores, NEG_INF)
     vals, sel = jax.lax.top_k(re_scores, k)
     rows = jnp.take_along_axis(cand_rows, sel, axis=1)

@@ -131,3 +131,63 @@ def test_full_head_matmul_matches_capped_einsum():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
     assert not bool(np.asarray(ovf).any())
+
+
+class TestScoreCandidatesFused:
+    """score_candidates_fused == score_pairs on f32-head indexes (head
+    matmul + compacted-tail candidate match vs the binary-search oracle)."""
+
+    def _world(self, seed=0, head_size=16):
+        from tdr.index import build_index
+        from tdr.text import build_vocab, encode_docs, encode_queries
+        from tdr.utils.config import IndexConfig
+
+        rng = np.random.RandomState(seed)
+        docs = [[f"t{rng.randint(700)}" for _ in range(rng.randint(5, 60))]
+                for _ in range(350)]
+        vocab = build_vocab(docs)
+        coo = encode_docs(docs, vocab)
+        cfg = IndexConfig(doc_pad_multiple=128, nnz_pad_multiple=64,
+                          head_budget_bytes=1 << 16, head_dtype="float32")
+        idx = build_index(*coo, vocab.size, index_cfg=cfg, head_size=head_size)
+        queries = [[f"t{rng.randint(700)}" for _ in range(rng.randint(1, 10))]
+                   for _ in range(20)]
+        qids, qw = encode_queries(queries, vocab, 16)
+        cand = rng.randint(0, idx.n_docs, (20, 33)).astype(np.int32)
+        return idx, jnp.asarray(qids), jnp.asarray(qw), jnp.asarray(cand)
+
+    @pytest.mark.parametrize("engine", ["xla", "pallas_interpret"])
+    def test_matches_binary_search_oracle(self, engine):
+        from tdr.ops.score import score_candidates_fused, score_pairs
+
+        idx, qids, qw, cand = self._world()
+        want = np.asarray(score_pairs(idx, qids, qw, cand))
+        got = np.asarray(score_candidates_fused(
+            idx, qids, qw, cand, tail_budget=64, tail_engine=engine))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_full_head_coverage_shortcut(self):
+        from tdr.ops.score import score_candidates_fused, score_pairs
+
+        idx, qids, qw, cand = self._world(seed=3, head_size=4096)
+        assert idx.head_size >= idx.vocab_size  # explicit full coverage
+        want = np.asarray(score_pairs(idx, qids, qw, cand))
+        got = np.asarray(score_candidates_fused(idx, qids, qw, cand))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_overflow_falls_back_exactly(self):
+        from tdr.ops.score import score_candidates_fused, score_pairs
+
+        idx, qids, qw, cand = self._world(seed=5)
+        # a query touching many tail terms overflows a tiny budget
+        head_slot = np.asarray(idx.head_slot)
+        df = np.asarray(idx.stats.df)
+        tail_terms = np.where((head_slot < 0) & (df > 0))[0][:16]
+        q2 = np.asarray(qids).copy()
+        w2 = np.asarray(qw).copy()
+        q2[0, :len(tail_terms)] = tail_terms
+        w2[0, :len(tail_terms)] = 1.0
+        want = np.asarray(score_pairs(idx, jnp.asarray(q2), jnp.asarray(w2), cand))
+        got = np.asarray(score_candidates_fused(
+            idx, jnp.asarray(q2), jnp.asarray(w2), cand, tail_budget=8))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
