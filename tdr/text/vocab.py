@@ -144,14 +144,41 @@ def encode_queries(
     Q = len(query_token_lists)
     ids = np.zeros((Q, max_terms), dtype=np.int32)
     w = np.zeros((Q, max_terms), dtype=np.float32)
-    for q, toks in enumerate(query_token_lists):
-        enc = vocab.encode(toks)
+    if Q == 0:
+        return ids, w
+
+    # vectorized: one vocab lookup per DISTINCT token string in the batch
+    # (the per-token Python walk was ~40% of warm end-to-end retrieval),
+    # then numpy maps the id stream back per query.  Semantics identical
+    # to the per-query path: in-vocab filter, first-seen order, first
+    # ``max_terms`` kept.
+    lens = [len(t) for t in query_token_lists]
+    flat = [t for toks in query_token_lists for t in toks]
+    if not flat:
+        return ids, w
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    enc_u = np.fromiter((vocab.encode_term(t) for t in uniq),
+                        dtype=np.int64, count=len(uniq))
+    mapped = enc_u[inv]
+
+    off = 0
+    for q, n in enumerate(lens):
+        e = mapped[off:off + n]
+        off += n
+        e = e[e >= 0]
+        if len(e) == 0:
+            continue
         if unique:
-            counts = [(t, 1.0) for t in dict.fromkeys(enc)]
+            _, first = np.unique(e, return_index=True)
+            e = e[np.sort(first)][:max_terms]
+            ids[q, :len(e)] = e
+            w[q, :len(e)] = 1.0
         else:
-            counts = list(Counter(enc).items())
-        counts = counts[:max_terms]
-        for j, (t, c) in enumerate(counts):
-            ids[q, j] = t
-            w[q, j] = c
+            # first-seen order with in-query counts (Counter semantics)
+            _, first, counts = np.unique(e, return_index=True,
+                                         return_counts=True)
+            order = np.argsort(first, kind="stable")[:max_terms]
+            sel = np.sort(first)[:max_terms]
+            ids[q, :len(sel)] = e[sel]
+            w[q, :len(sel)] = counts[order]
     return ids, w

@@ -199,3 +199,47 @@ class TestLoaders:
         assert va1.query_ids == va2.query_ids
         assert len(va1) == 10 and len(tr1) == 90
         assert set(va1.query_ids) | set(tr1.query_ids) == set(qs.query_ids)
+
+
+class TestEncodeQueriesVectorized:
+    """The batch-deduped encode_queries must match the straightforward
+    per-query reference loop exactly (first-seen order, in-vocab filter,
+    max_terms cap, count weights)."""
+
+    def _ref(self, query_token_lists, vocab, max_terms, unique):
+        from collections import Counter
+
+        Q = len(query_token_lists)
+        ids = np.zeros((Q, max_terms), dtype=np.int32)
+        w = np.zeros((Q, max_terms), dtype=np.float32)
+        for q, toks in enumerate(query_token_lists):
+            enc = vocab.encode(toks)
+            if unique:
+                counts = [(t, 1.0) for t in dict.fromkeys(enc)]
+            else:
+                counts = list(Counter(enc).items())
+            for j, (t, c) in enumerate(counts[:max_terms]):
+                ids[q, j] = t
+                w[q, j] = c
+        return ids, w
+
+    @pytest.mark.parametrize("unique", [True, False])
+    def test_matches_reference_loop(self, unique):
+        rng = np.random.RandomState(0)
+        docs = [[f"t{rng.randint(200)}" for _ in range(rng.randint(3, 30))]
+                for _ in range(60)]
+        vocab = build_vocab(docs)
+        queries = []
+        for _ in range(40):
+            q = [f"t{rng.randint(260)}" for _ in range(rng.randint(0, 12))]
+            if rng.rand() < 0.3:
+                q += q[:3]                       # duplicates
+            if rng.rand() < 0.2:
+                q += ["zz-oov", "t0_t1"]         # OOV + underscore
+            queries.append(q)
+        queries.append([])                       # empty query
+        queries.append([f"t{i}" for i in range(30)])   # > max_terms
+        ids_ref, w_ref = self._ref(queries, vocab, 8, unique)
+        ids_got, w_got = encode_queries(queries, vocab, 8, unique=unique)
+        assert np.array_equal(ids_got, ids_ref)
+        assert np.array_equal(w_got, w_ref)
