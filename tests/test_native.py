@@ -159,3 +159,68 @@ def test_fast_tokenize_synthetic_queries_match():
         by_lang.setdefault(l, []).append(q)
     for lang, qs in sorted(by_lang.items()):
         assert fast_tokenize_texts(qs, lang) == [pp(q, lang) for q in qs], lang
+
+
+class TestNativeCorpusParser:
+    """C++ corpus.json parser (jsonload.cc) vs the json.load oracle."""
+
+    CORPUS = [
+        {"docid": "doc-en-1", "text": "Plain ascii text.", "lang": "en"},
+        {"docid": "doc-fr-2", "text": "Écoles déjà là — çà va? ½ mètre",
+         "lang": "fr"},
+        {"docid": "doc-ko-3", "text": "한국어 텍스트 \"인용\" 줄\n바꿈",
+         "lang": "ko"},
+        {"docid": "doc-4", "text": "Escapes: \\ / \b \f \n \r \t and é",
+         "lang": "ar"},
+        {"docid": "doc-5", "text": "Astral: \U0001F600 pair", "lang": "en"},
+        {"docid": 42, "text": "integer docid", "lang": "de",
+         "extra": {"nested": [1, 2, {"x": "y"}], "flag": True, "z": None}},
+        {"text": "missing lang and reordered", "docid": "doc-7"},
+        {"docid": "doc-8", "text": ""},
+    ]
+
+    def _check(self, payload: bytes):
+        import json as _json
+
+        from tdr import native
+
+        docids, texts, langs = native.parse_corpus_json(payload)
+        raw = _json.loads(payload)
+        assert docids == [str(r["docid"]) for r in raw]
+        assert texts == [r["text"] for r in raw]
+        assert langs == [r.get("lang", "en") for r in raw]
+
+    def test_ensure_ascii_dump(self):
+        import json as _json
+
+        self._check(_json.dumps(self.CORPUS, ensure_ascii=True).encode())
+
+    def test_raw_utf8_dump(self):
+        import json as _json
+
+        self._check(_json.dumps(self.CORPUS, ensure_ascii=False,
+                                indent=2).encode("utf-8"))
+
+    def test_empty_array(self):
+        from tdr import native
+
+        assert native.parse_corpus_json(b"  [ ]  ") == ([], [], [])
+
+    def test_malformed_raises(self):
+        from tdr import native
+
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(b'[{"docid": "x", "text": ')
+
+    def test_load_corpus_roundtrip(self, tmp_path):
+        import json as _json
+
+        from tdr.data import load_corpus
+
+        p = tmp_path / "corpus.json"
+        p.write_text(_json.dumps(self.CORPUS, ensure_ascii=False))
+        c_nat = load_corpus(str(p), use_native=True)
+        c_py = load_corpus(str(p), use_native=False)
+        assert c_nat.docids == c_py.docids
+        assert c_nat.texts == c_py.texts
+        assert c_nat.langs == c_py.langs
