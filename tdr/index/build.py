@@ -90,6 +90,29 @@ def segment_df(term_ids: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
     )
 
 
+def _compute_idf_np(df: np.ndarray, n_docs: int, variant: str) -> np.ndarray:
+    """Host-numpy twin of compute_idf (keeps the no-sync build path pure)."""
+    df = np.asarray(df, np.float32)
+    n = np.float32(n_docs)
+    if variant in ("bm25", "bm25_plus1"):
+        return np.log1p((n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    if variant == "classic":
+        return (np.log((n + 1.0) / (df + 1.0)) + 1.0).astype(np.float32)
+    raise ValueError(f"unknown idf variant: {variant}")
+
+
+def _select_head_np(df: np.ndarray, head_size: int) -> np.ndarray:
+    """Host-numpy twin of select_head, matching lax.top_k tie order
+    (descending value, lowest index first)."""
+    vocab_size = df.shape[0]
+    head_slot = np.full(vocab_size, -1, np.int32)
+    if head_size > 0:
+        order = np.lexsort((np.arange(vocab_size), -np.asarray(df)))[:head_size]
+        keep = np.asarray(df)[order] > 0
+        head_slot[order[keep]] = np.arange(head_size, dtype=np.int32)[keep]
+    return head_slot
+
+
 @partial(jax.jit, static_argnames=("head_size",))
 def select_head(df: jnp.ndarray, head_size: int) -> jnp.ndarray:
     """head_slot (V,): slot id in [0, head_size) for the top-df terms, -1 else."""
@@ -289,6 +312,7 @@ def build_index(
     n_docs_pad: Optional[int] = None,
     nnz_pad: Optional[int] = None,
     tail_pmax: Optional[int] = None,
+    df_host: Optional[np.ndarray] = None,
 ) -> SparseIndex:
     """Host wrapper: pad COO to static shapes, run the jitted build, derive
     the static tail gather width.
@@ -296,6 +320,13 @@ def build_index(
     Inputs are the COO arrays from ``tdr.text.encode_docs`` (one entry per
     unique (doc, term) pair).  The ``idf``/``head_slot``/``avgdl`` overrides
     let ``tdr.parallel`` build document shards against corpus-global stats.
+
+    ``df_host`` (the vocab's document frequencies, already known to the
+    fast encoder) moves idf / head selection / tail_pmax to host numpy so
+    the build dispatches WITHOUT any device sync: the per-language builds
+    of a multilingual corpus then overlap on the device queue instead of
+    serializing on a tail_pmax round trip each (39 s of 67 s at reference
+    scale measured through the remote tunnel).
     """
     n_docs = int(doc_lens.shape[0])
     bucketing = index_cfg.shape_bucketing
@@ -321,13 +352,22 @@ def build_index(
         # injected arrays fix the vocab axis (sharded builds)
         vocab_pad = int(np.asarray(idf).shape[0])
     if idf is None or head_slot is None:
-        df_g = segment_df(jnp.asarray(ti), vocab_pad)
+        if df_host is not None:
+            # host path: no device round trip anywhere in this build
+            df_g = np.zeros(vocab_pad, np.float32)
+            df_g[:len(df_host)] = np.asarray(df_host, np.float32)
+        else:
+            df_g = segment_df(jnp.asarray(ti), vocab_pad)
         if idf is None:
-            idf = compute_idf(df_g, n_docs, bm25.idf_variant)
+            idf = (_compute_idf_np(df_g, n_docs, bm25.idf_variant)
+                   if df_host is not None
+                   else compute_idf(df_g, n_docs, bm25.idf_variant))
         if head_slot is None:
             if head_size is None:
                 if index_cfg.head_min_df > 0:
-                    head_size = int(jnp.sum(df_g >= index_cfg.head_min_df))
+                    head_size = int(np.sum(np.asarray(df_g) >= index_cfg.head_min_df)
+                                    if df_host is not None
+                                    else jnp.sum(df_g >= index_cfg.head_min_df))
                 else:
                     head_size = _auto_head_size(vocab_pad, n_docs_pad, index_cfg)
                 if bucketing and 256 < head_size < vocab_pad:
@@ -335,7 +375,18 @@ def build_index(
                     # (skipped at full vocab coverage — flooring there would
                     # re-create a tail the budget already paid to eliminate)
             head_size = min(head_size, vocab_pad)
-            head_slot = select_head(df_g, head_size)
+            head_slot = (_select_head_np(df_g, head_size)
+                         if df_host is not None
+                         else select_head(df_g, head_size))
+        if df_host is not None and tail_pmax is None:
+            tail_df = df_g[np.asarray(head_slot) < 0]
+            tail_pmax = int(tail_df.max()) if tail_df.size else 0
+            if tail_pmax <= 0:
+                tail_pmax = 8
+            elif bucketing:
+                tail_pmax = _bucket(tail_pmax, 8)
+            else:
+                tail_pmax = max(8, _round_up(tail_pmax, 128))
     if head_size is None:
         head_size = int(jnp.max(head_slot)) + 1 if vocab_pad else 0
     if avgdl is None:

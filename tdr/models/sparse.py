@@ -131,7 +131,8 @@ class BM25Model(SparseModel):
         max_query_terms: int = 64, head_size: Optional[int] = None,
     ) -> "BM25Model":
         index = build_index(*coo, vocab.size, bm25=bm25, index_cfg=index_cfg,
-                            weight_kind="bm25", head_size=head_size)
+                            weight_kind="bm25", head_size=head_size,
+                            df_host=vocab.df)
         return cls(vocab=vocab, index=index, docids=list(docids), lang=lang,
                    max_query_terms=max_query_terms, query_weight="unit")
 
@@ -166,7 +167,7 @@ class TfidfCosineModel(SparseModel):
         max_query_terms: int = 64, head_size: Optional[int] = None,
     ) -> "TfidfCosineModel":
         index = build_tfidf_index(*coo, vocab.size, index_cfg=index_cfg,
-                                  head_size=head_size)
+                                  head_size=head_size, df_host=vocab.df)
         return cls(vocab=vocab, index=index, docids=list(docids), lang=lang,
                    max_query_terms=max_query_terms, query_weight="idf")
 

@@ -65,7 +65,11 @@ def build_language_models(
     from tdr.text.vocab import build_vocab, encode_docs
 
     # --- phase 1: preprocess + encode every (non-resumed) language --------
-    encoded: Dict[str, tuple] = {}   # lang -> (vocab, coo, docids, n_docs)
+    # Languages encode CONCURRENTLY on a thread pool: the C++ tokenizer
+    # releases the GIL for the scan and numpy for the counting passes (the
+    # reference fans preprocessing over a process pool, team_run1.py:102-109
+    # — threads suffice here because the hot loops are native).
+    to_encode = []
     for lang, rows in sorted(by_lang.items()):
         if resume_dir is not None:
             import os
@@ -77,20 +81,36 @@ def build_language_models(
                 models[lang] = load_sparse_model(lang_dir)
                 log.info("resumed '%s' model from %s", lang, lang_dir)
                 continue
-        with tracer.span(f"encode:{lang}", n_docs=len(rows)):
-            docids = [corpus.docids[i] for i in rows]
-            if fast:
-                from tdr.text.fast import fast_encode_corpus
+        to_encode.append((lang, rows))
 
-                texts = [corpus.texts[i] for i in rows]
-                vocab, *coo = fast_encode_corpus(
-                    texts, [lang] * len(rows), min_df=index_cfg.min_df)
-                coo = tuple(coo)
-            else:
-                toks = [pp(corpus.texts[i], lang) for i in rows]
-                vocab = build_vocab(toks, min_df=index_cfg.min_df)
-                coo = encode_docs(toks, vocab)
-            encoded[lang] = (vocab, coo, docids, len(rows))
+    def _encode_one(lang, rows):
+        docids = [corpus.docids[i] for i in rows]
+        if fast:
+            from tdr.text.fast import fast_encode_corpus
+
+            texts = [corpus.texts[i] for i in rows]
+            vocab, *coo = fast_encode_corpus(
+                texts, [lang] * len(rows), min_df=index_cfg.min_df)
+            coo = tuple(coo)
+        else:
+            toks = [pp(corpus.texts[i], lang) for i in rows]
+            vocab = build_vocab(toks, min_df=index_cfg.min_df)
+            coo = encode_docs(toks, vocab)
+        return lang, (vocab, coo, docids, len(rows))
+
+    encoded: Dict[str, tuple] = {}   # lang -> (vocab, coo, docids, n_docs)
+    if len(to_encode) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with tracer.span("encode:all", n_langs=len(to_encode)):
+            with ThreadPoolExecutor(max_workers=min(8, len(to_encode))) as ex:
+                for lang, payload in ex.map(
+                        lambda a: _encode_one(*a), to_encode):
+                    encoded[lang] = payload
+    else:
+        for lang, rows in to_encode:
+            with tracer.span(f"encode:{lang}", n_docs=len(rows)):
+                encoded[lang] = _encode_one(lang, rows)[1]
 
     # --- phase 2: waterfill the TOTAL dense-head budget -------------------
     # Baseline share is the language's document count (a tiny language must
@@ -127,6 +147,13 @@ def build_language_models(
             from tdr.ckpt import save_sparse_model
 
             save_sparse_model(os.path.join(resume_dir, lang), models[lang])
+
+    # the builds above dispatch WITHOUT device syncs (df_host path), so all
+    # languages overlap on the device queue; drain once so callers (and
+    # build timing) see completed indexes
+    import jax
+
+    jax.block_until_ready([m.index.postings_w for m in models.values()])
     return models
 
 

@@ -161,3 +161,29 @@ def test_empty_query_scores_zero():
     qw = jnp.zeros((1, 8), jnp.float32)
     scores = np.asarray(score_batch(idx, qids, qw))
     np.testing.assert_allclose(scores[0, : len(DOCS)], 0.0)
+
+
+def test_df_host_build_matches_device_build():
+    """build_index(df_host=...) (the no-sync path) must produce the same
+    index as the device-stat path: same head selection (lax.top_k tie
+    order), idf, tail_pmax, postings and head rows."""
+    rng = np.random.RandomState(4)
+    docs = [[f"t{rng.randint(400)}" for _ in range(rng.randint(4, 40))]
+            for _ in range(250)]
+    vocab = build_vocab(docs)
+    coo = encode_docs(docs, vocab)
+    cfg = IndexConfig(doc_pad_multiple=128, nnz_pad_multiple=64,
+                      head_budget_bytes=1 << 17, head_dtype="float32")
+    a = build_index(*coo, vocab.size, index_cfg=cfg)
+    b = build_index(*coo, vocab.size, index_cfg=cfg, df_host=vocab.df)
+    assert a.head_size == b.head_size
+    assert a.tail_pmax == b.tail_pmax
+    assert np.array_equal(np.asarray(a.head_slot), np.asarray(b.head_slot))
+    np.testing.assert_allclose(np.asarray(a.stats.idf),
+                               np.asarray(b.stats.idf), rtol=1e-6)
+    assert np.array_equal(np.asarray(a.postings_doc),
+                          np.asarray(b.postings_doc))
+    np.testing.assert_allclose(np.asarray(a.head_rows),
+                               np.asarray(b.head_rows), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.postings_w),
+                               np.asarray(b.postings_w), rtol=1e-6)
