@@ -204,7 +204,8 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     log.info("index build (host preprocess + device build): %.1fs", build_s)
 
-    router = LanguageRouter(models, query_batch=256)
+    router = LanguageRouter(
+        models, query_batch=int(os.environ.get("TDR_QUERY_BATCH", 256)))
 
     # warmup: one padded batch per language compiles the single query
     # shape, then one FULL pass compiles the result-gather stack (its

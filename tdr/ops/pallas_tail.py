@@ -194,39 +194,56 @@ def tail_compact_pallas(
     doc2d = index.postings_doc.reshape(nnz_pad // _LANES, _LANES)
     w2d = index.postings_w.reshape(nnz_pad // _LANES, _LANES)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,        # arows, deltas, lens, offs, qw
-        grid=(Q,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # postings_doc 2-D (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # postings_w 2-D (HBM)
-        ],
-        out_specs=(
-            pl.BlockSpec((1, RB, _LANES), lambda q, *_: (q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, _LANES), lambda q, *_: (q, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, RB, _LANES), jnp.int32),   # DMA window at row 0
-            pltpu.VMEM((2, RB, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    docs, vals = pl.pallas_call(
-        _make_kernel(MT, RW, RB, sentinel),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((Q, RB, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((Q, RB, _LANES), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=Q * MT * W,
-            bytes_accessed=Q * MT * DW * 8 + Q * W * 8,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(arows, deltas, lens, offs, qw_c.astype(jnp.float32), doc2d, w2d)
+    def run(arows_c, deltas_c, lens_c, offs_c, qw_cc):
+        Qc = arows_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,        # arows, deltas, lens, offs, qw
+            grid=(Qc,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # postings_doc 2-D (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # postings_w 2-D (HBM)
+            ],
+            out_specs=(
+                pl.BlockSpec((1, RB, _LANES), lambda q, *_: (q, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RB, _LANES), lambda q, *_: (q, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, RB, _LANES), jnp.int32),  # DMA window, row 0
+                pltpu.VMEM((2, RB, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            _make_kernel(MT, RW, RB, sentinel),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((Qc, RB, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((Qc, RB, _LANES), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=Qc * MT * W,
+                bytes_accessed=Qc * MT * DW * 8 + Qc * W * 8,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(arows_c, deltas_c, lens_c, offs_c, qw_cc, doc2d, w2d)
+
+    # the scalar-prefetch tables live in SMEM (~1 MB): chunk the query axis
+    # so (Qc, MT) x 5 arrays stay well under it at any batch size
+    QCH = 256
+    qw_f = qw_c.astype(jnp.float32)
+    if Q <= QCH:
+        docs, vals = run(arows, deltas, lens, offs, qw_f)
+    else:
+        parts = [
+            run(arows[s:s + QCH], deltas[s:s + QCH], lens[s:s + QCH],
+                offs[s:s + QCH], qw_f[s:s + QCH])
+            for s in range(0, Q, QCH)
+        ]
+        docs = jnp.concatenate([p[0] for p in parts])
+        vals = jnp.concatenate([p[1] for p in parts])
     return docs.reshape(Q, W), vals.reshape(Q, W), overflow
 
 
