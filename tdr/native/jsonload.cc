@@ -217,6 +217,7 @@ TdrCorpusResult* tdr_parse_corpus(const char* buf, int64_t len) {
     while (true) {
       if (!ps.expect('{')) break;
       std::string docid, text, lang = "en";
+      bool have_docid = false, have_text = false;
       bool ok = true;
       ps.ws();
       if (ps.p < ps.end && *ps.p == '}') {
@@ -227,14 +228,20 @@ TdrCorpusResult* tdr_parse_corpus(const char* buf, int64_t len) {
           if (!(ok = ps.string(&key))) break;
           if (!(ok = ps.expect(':'))) break;
           ps.ws();
+          // string() appends — clear for duplicate-key last-wins, the
+          // json.load (parity oracle) behavior
           if (key == "docid") {
+            docid.clear();
+            have_docid = true;
             // str(r["docid"]) semantics: ints keep their literal form
             ok = (ps.p < ps.end && *ps.p == '"') ? ps.string(&docid)
                                                  : ps.raw_scalar(&docid);
           } else if (key == "text") {
+            text.clear();
+            have_text = true;
             ok = ps.string(&text);
           } else if (key == "lang") {
-            lang.clear();   // string() appends; drop the "en" default
+            lang.clear();
             ok = ps.string(&lang);
           } else {
             ok = ps.skip_value();
@@ -250,6 +257,12 @@ TdrCorpusResult* tdr_parse_corpus(const char* buf, int64_t len) {
         }
       }
       if (!ok) break;
+      if (!have_docid || !have_text) {
+        // json.load path raises KeyError here — report an error so the
+        // caller falls back and surfaces the data problem the same way
+        ps.fail(!have_docid ? "record missing docid" : "record missing text");
+        break;
+      }
       blob += docid;
       offsets.push_back((int64_t)blob.size());
       blob += text;
@@ -267,6 +280,11 @@ TdrCorpusResult* tdr_parse_corpus(const char* buf, int64_t len) {
     }
   }
 
+  if (!ps.err) {
+    // only whitespace may follow the closing ']' (json.load: "Extra data")
+    ps.ws();
+    if (ps.p < ps.end) ps.fail("trailing data after corpus array");
+  }
   if (ps.err) {
     res->error = ps.err;
     return res;

@@ -84,12 +84,14 @@ class PipelinedCascade:
             qids2, qw2 = self.rank_model.encode_query_tokens(chunk)
 
             # stage 1 on group A: wide top-C candidate scan (computation
-            # follows its arguments' placement)
+            # follows its arguments' placement); tail engine resolved per
+            # index — each stage's index has its own DMA-padding guarantee
             v1, rows = score_and_topk_fused(
                 self._idx1,
                 jax.device_put(qids1, self.stage1_device),
                 jax.device_put(qw1, self.stage1_device),
-                top_k=C, tail_budget=self.cand_model.tail_budget)
+                top_k=C, tail_budget=self.cand_model.tail_budget,
+                tail_engine=self.cand_model._resolved_tail_engine())
 
             # ship ONLY the small (B, C) candidate set to group B (async)
             v1_b = jax.device_put(v1, self.stage2_device)
@@ -100,16 +102,25 @@ class PipelinedCascade:
                 self._idx2,
                 jax.device_put(qids2, self.stage2_device),
                 jax.device_put(qw2, self.stage2_device),
-                rows_b, v1_b, k_eff)
+                rows_b, v1_b, k_eff,
+                tail_budget=self.rank_model.tail_budget,
+                tail_engine=self.rank_model._resolved_tail_engine())
             pending.append((s, n, vals, out_rows))
 
+        # ONE packed device->host transfer for all batches (per-batch
+        # np.asarray is a serialized RPC round trip per call — the exact
+        # pattern router._gather_pending exists to avoid)
+        from tdr.rank.router import _gather_pending
+
         results: List[List[str]] = [[] for _ in toks]
-        for s, n, vals, rows in pending:
-            vals = np.asarray(vals)[:n]
-            rows = np.asarray(rows)[:n]
-            for j in range(n):
-                results[s + j] = [
-                    self.rank_model.docids[r]
-                    for r, v in zip(rows[j], vals[j]) if np.isfinite(v)
-                ]
+        if pending:
+            vals_all, rows_all = _gather_pending(
+                [p[2] for p in pending], [p[3] for p in pending])
+            for i, (s, n, _, _) in enumerate(pending):
+                for j in range(n):
+                    results[s + j] = [
+                        self.rank_model.docids[r]
+                        for r, v in zip(rows_all[i][j], vals_all[i][j])
+                        if np.isfinite(v)
+                    ]
         return results

@@ -32,23 +32,30 @@ from tdr.ops.score import (
 from tdr.text.preprocess import Preprocessor
 
 
-@partial(jax.jit, static_argnames=("C", "k", "tail_budget", "tail_engine"))
+@partial(jax.jit, static_argnames=("C", "k", "tail_budget", "cand_engine",
+                                   "rank_engine"))
 def cascade_score_topk(
     cand_index, rank_index,
     qids1: jnp.ndarray, qw1: jnp.ndarray,      # stage-1 encoding (cand vocab)
     qids2: jnp.ndarray, qw2: jnp.ndarray,      # stage-2 encoding (rank vocab)
-    C: int, k: int, tail_budget: int, tail_engine: str = "xla",
+    C: int, k: int, tail_budget: int,
+    cand_engine: str = "xla", rank_engine: str = "xla",
 ):
     """Both cascade stages in ONE device dispatch (no host hop between
-    stages): wide fused top-C candidates → binary-search CSR re-score →
+    stages): wide fused top-C candidates → fused candidate re-score →
     final top-k.  The reference runs stage-1-then-stage-2 with a host round
-    trip (cosine_similarity_bm25_reranking.py:228-236)."""
+    trip (cosine_similarity_bm25_reranking.py:228-236).
+
+    The tail engine is resolved PER INDEX (``pallas_tail_available`` checks
+    each index's DMA-padding invariant — a freshly built candidate index
+    must not drag a legacy checkpointed rank index onto the segment-DMA
+    path)."""
     vals1, cand_rows = score_and_topk_fused(
         cand_index, qids1, qw1, top_k=C, tail_budget=tail_budget,
-        tail_engine=tail_engine)
+        tail_engine=cand_engine)
     return rerank_pairs_topk(rank_index, qids2, qw2, cand_rows, vals1,
                              min(k, C), tail_budget=tail_budget,
-                             tail_engine=tail_engine)
+                             tail_engine=rank_engine)
 
 
 @partial(jax.jit, static_argnames=("k", "tail_budget", "tail_engine",
@@ -77,6 +84,12 @@ def rerank_pairs_topk(
     vals, sel = jax.lax.top_k(re_scores, k)
     rows = jnp.take_along_axis(cand_rows, sel, axis=1)
     return vals, rows
+
+
+def _engine_of(model) -> str:
+    """The model's OWN resolved tail engine (availability is per index)."""
+    return (model._resolved_tail_engine()
+            if hasattr(model, "_resolved_tail_engine") else "xla")
 
 
 @dataclass
@@ -126,9 +139,8 @@ class CascadeRetriever:
                         cand_m.index, rank_m.index, qids1, qw1, qids2, qw2,
                         C=C, k=min(k, C),
                         tail_budget=getattr(cand_m, "tail_budget", 1024),
-                        tail_engine=(cand_m._resolved_tail_engine()
-                                     if hasattr(cand_m, "_resolved_tail_engine")
-                                     else "xla"))
+                        cand_engine=_engine_of(cand_m),
+                        rank_engine=_engine_of(rank_m))
                     vals = np.asarray(vals)[:n_chunk]
                     rows = np.asarray(rows)[:n_chunk]
                     for j, (rr, vv) in zip(sel, zip(rows, vals)):

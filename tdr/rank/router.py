@@ -126,7 +126,15 @@ def build_language_models(
 
     stats = {lang: (full_head_bytes(vocab.size, n, index_cfg), float(n))
              for lang, (vocab, _, _, n) in encoded.items()}
-    allocs = _waterfill_head_budget(index_cfg.head_budget_bytes, stats)
+    # resumed models' heads already occupy HBM — charge them against the
+    # total before waterfilling the remaining languages, or a single
+    # non-resumed language could be handed the whole budget on top of
+    # them (the resident-head overcommit the split exists to prevent)
+    resumed_bytes = sum(
+        int(np.prod(m.index.head_rows.shape)) * m.index.head_rows.dtype.itemsize
+        for m in models.values())
+    allocs = _waterfill_head_budget(
+        max(index_cfg.head_budget_bytes - resumed_bytes, 0), stats)
 
     # --- phase 3: build one index per language ----------------------------
     for lang, (vocab, coo, docids, n) in encoded.items():
@@ -248,17 +256,22 @@ class LanguageRouter:
             groups.setdefault(lang, []).append(i)
         return groups
 
-    def retrieve(
-        self, queries: Sequence[str], langs: Optional[Sequence[str]] = None,
-        k: int = 10,
-    ) -> List[List[str]]:
-        """Top-k docids per query, in input order.  ``langs=None`` (or
-        unknown codes) routes by detected language."""
-        results: List[Optional[List[str]]] = [None] * len(queries)
-        # phase 1: dispatch every batch asynchronously — jax queues device
-        # work while the host keeps tokenizing/encoding the next chunks
-        # (batch sizes follow final_implementation.ipynb:470-506; every
-        # chunk is padded to query_batch so jit sees ONE query shape)
+    def _batches_resolved(self, queries, langs, k):
+        """Dispatch every batch asynchronously, resolve everything with
+        ONE packed device→host transfer, and return (model, sel,
+        vals (n,k), rows (n,k)) per batch.
+
+        Phase 1 queues device work while the host keeps tokenizing /
+        encoding the next chunks (batch sizes follow
+        final_implementation.ipynb:470-506; every chunk is padded to
+        query_batch so jit sees ONE query shape).  Phase 2 stacks all
+        results on device and pulls once — every np.asarray of a device
+        array is a full RPC round trip on remote backends (30-50 ms
+        measured on the axon tunnel); per-batch conversion serialized
+        2×n_batches round trips and dominated end-to-end retrieval.
+        Sharded models return trimmed host arrays (their collective
+        already synced) and resolve inline."""
+        resolved = []
         pending = []
         for lang, q_idx in self._group(langs, queries).items():
             model = self.models[lang]
@@ -271,27 +284,24 @@ class LanguageRouter:
                         chunk, k, pad_to=self.query_batch)
                     pending.append((model, sel, vals, rows, n))
                 else:
-                    # sharded models return trimmed host arrays — resolve
-                    # inline (their collective already synced the device)
                     vals, rows = model.topk_tokens(chunk, k,
                                                    pad_to=self.query_batch)
-                    for j, (v, rr) in zip(sel, zip(vals, rows)):
-                        results[j] = [model.docids[r]
-                                      for r, vv in zip(rr, v)
-                                      if np.isfinite(vv)]
-        # phase 2: ONE device-side stack + ONE host transfer.  Every
-        # np.asarray of a device array is a full RPC round trip on remote
-        # backends (measured 30-50 ms each on the axon tunnel); converting
-        # per batch serialized 2 round trips x n_batches and dominated
-        # end-to-end retrieval.  All batches share the (query_batch, k)
-        # shape, so the results stack — rows bitcast to f32 lanes — into a
-        # single array pulled in one go.
+                    resolved.append((model, sel, vals, rows))
         if pending:
             vals_all, rows_all = _gather_pending(
                 [p[2] for p in pending], [p[3] for p in pending])
-        for i, (model, sel, _, _, n) in enumerate(pending):
-            vals = vals_all[i][:n]
-            rows = rows_all[i][:n]
+            for i, (model, sel, _, _, n) in enumerate(pending):
+                resolved.append((model, sel, vals_all[i][:n], rows_all[i][:n]))
+        return resolved
+
+    def retrieve(
+        self, queries: Sequence[str], langs: Optional[Sequence[str]] = None,
+        k: int = 10,
+    ) -> List[List[str]]:
+        """Top-k docids per query, in input order.  ``langs=None`` (or
+        unknown codes) routes by detected language."""
+        results: List[Optional[List[str]]] = [None] * len(queries)
+        for model, sel, vals, rows in self._batches_resolved(queries, langs, k):
             for j, (v, rr) in zip(sel, zip(vals, rows)):
                 results[j] = [model.docids[r] for r, vv in zip(rr, v)
                               if np.isfinite(vv)]
@@ -303,30 +313,8 @@ class LanguageRouter:
     ) -> Tuple[List[List[str]], np.ndarray]:
         docid_out: List[Optional[List[str]]] = [None] * len(queries)
         score_out = np.zeros((len(queries), k), np.float32)
-        pending = []
-        for lang, q_idx in self._group(langs, queries).items():
-            model = self.models[lang]
-            toks = self._tokenize(queries, q_idx, lang)
-            for s in range(0, len(q_idx), self.query_batch):
-                sel = q_idx[s : s + self.query_batch]
-                chunk = toks[s : s + self.query_batch]
-                if hasattr(model, "topk_tokens_async"):
-                    vals, rows, n = model.topk_tokens_async(
-                        chunk, k, pad_to=self.query_batch)
-                    pending.append((model, sel, vals, rows, n))
-                else:
-                    vals, rows = model.topk_tokens(chunk, k,
-                                                   pad_to=self.query_batch)
-                    for j, (v, rr) in zip(sel, zip(vals, rows)):
-                        docid_out[j] = [model.docids[r]
-                                        for r, vv in zip(rr, v)
-                                        if np.isfinite(vv)]
-                        score_out[j] = v
-        if pending:
-            vals_all, rows_all = _gather_pending(
-                [p[2] for p in pending], [p[3] for p in pending])
-        for i, (model, sel, _, _, n) in enumerate(pending):
-            for j, (v, rr) in zip(sel, zip(vals_all[i][:n], rows_all[i][:n])):
+        for model, sel, vals, rows in self._batches_resolved(queries, langs, k):
+            for j, (v, rr) in zip(sel, zip(vals, rows)):
                 docid_out[j] = [model.docids[r] for r, vv in zip(rr, v)
                                 if np.isfinite(vv)]
                 score_out[j] = v

@@ -33,6 +33,7 @@ from tdr.utils.trace import log
 
 _LANG_MODE = {"ar": "a", "ko": "k"}
 _NORM_MEMO: Dict[tuple, Dict[str, str]] = {}
+_NORM_MEMO_CAP = 2_000_000        # same bound as Preprocessor._normalize
 
 
 def _native_tokenize_lang(texts, lang, pipeline="best"):
@@ -164,7 +165,8 @@ def fast_tokenize_texts(
         s = memo.get(t)
         if s is None:
             s = normalize(t.lower())
-            memo[t] = s
+            if len(memo) < _NORM_MEMO_CAP:   # bound long-lived serving RSS
+                memo[t] = s
         norm[i] = s
     bigrams = lang in BIGRAM_LANGS and pipeline == "best"
     out = []

@@ -224,3 +224,25 @@ class TestNativeCorpusParser:
         assert c_nat.docids == c_py.docids
         assert c_nat.texts == c_py.texts
         assert c_nat.langs == c_py.langs
+
+    def test_missing_text_key_is_an_error(self):
+        from tdr import native
+
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(b'[{"docid": "d1", "lang": "en"}]')
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(b'[{"text": "x", "lang": "en"}]')
+
+    def test_duplicate_keys_last_wins(self):
+        from tdr import native
+
+        d, t, l = native.parse_corpus_json(
+            b'[{"docid": "a", "docid": "b", "text": "p", "text": "q"}]')
+        assert d == ["b"] and t == ["q"] and l == ["en"]
+
+    def test_trailing_garbage_is_an_error(self):
+        from tdr import native
+
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(
+                b'[{"docid": "a", "text": "x"}] [{"docid": "b", "text": "y"}]')
