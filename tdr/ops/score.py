@@ -221,9 +221,11 @@ def topk_language_filtered(
 
 
 def _scatter_topk(
-    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int
+    index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
+    n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    scores = mask_invalid_docs(score_batch_raw(index, qids, qw), index.n_docs)
+    scores = mask_invalid_docs(score_batch_raw(index, qids, qw),
+                               index.n_docs if n_valid is None else n_valid)
     k_eff = min(top_k, index.n_docs_pad)
     vals, idx = jax.lax.top_k(scores, k_eff)
     if k_eff < top_k:
@@ -313,14 +315,16 @@ def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
 @partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine"))
 def _fused_topk_core(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
-    tail_budget: int, tail_engine: str = "xla",
+    tail_budget: int, tail_engine: str = "xla", n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     qids = jnp.clip(qids, 0, index.vocab_size - 1)
     Q = qids.shape[0]
 
     # 1) head scores: one full-head MXU matmul — exact, no overflow path
+    #    (n_valid overrides the static doc count — document shards carry a
+    #    per-device valid length, tdr.parallel.sharded)
     head = _head_scores_matmul(index, qids, qw)
-    head = mask_invalid_docs(head, index.n_docs)
+    head = mask_invalid_docs(head, index.n_docs if n_valid is None else n_valid)
     k = min(top_k, index.n_docs_pad)
     hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
 
@@ -403,7 +407,7 @@ def _fused_topk_core(
 @partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine"))
 def score_and_topk_fused(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10,
-    tail_budget: int = 2048, tail_engine: str = "xla",
+    tail_budget: int = 2048, tail_engine: str = "xla", n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k without the tail scatter (the scatter dominates
     `score_and_topk` ~10x on TPU).
@@ -424,11 +428,11 @@ def score_and_topk_fused(
     compute nor a host round-trip for the overflow flag.
     """
     vals, docs, overflow = _fused_topk_core(index, qids, qw, top_k,
-                                            tail_budget, tail_engine)
+                                            tail_budget, tail_engine, n_valid)
 
     def fallback(args):
         vals, docs, overflow = args
-        sv, sd = _scatter_topk(index, qids, qw, top_k)
+        sv, sd = _scatter_topk(index, qids, qw, top_k, n_valid)
         return (jnp.where(overflow[:, None], sv, vals),
                 jnp.where(overflow[:, None], sd, docs))
 

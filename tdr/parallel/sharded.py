@@ -38,7 +38,7 @@ from tdr.index.build import (
     _pad_coo,
     _round_up,
 )
-from tdr.ops.score import mask_invalid_docs, score_batch_raw
+from tdr.ops.score import score_and_topk_fused
 from tdr.parallel.mesh import data_sharding, replicated
 from tdr.utils.config import BM25Config, IndexConfig
 
@@ -230,9 +230,12 @@ def sharded_score_topk(
             vocab_size=sindex.vocab_size, tail_pmax=sindex.tail_pmax,
             head_size=sindex.head_size,
         )
-        scores = score_batch_raw(local, qids, qw)
-        scores = mask_invalid_docs(scores, n_valid[0])
-        vals, rows = jax.lax.top_k(scores, k_local)
+        # the SAME fused engine as the single-chip path (full-head matmul,
+        # sort-compacted tail, exact merge; overflow falls back to the
+        # scatter oracle inside lax.cond) — the per-shard valid length is
+        # dynamic, hence n_valid
+        vals, rows = score_and_topk_fused(local, qids, qw, top_k=k_local,
+                                          n_valid=n_valid[0])
         my = jax.lax.axis_index("data")
         grows = rows + my * n_loc_pad
         # gather every shard's candidates: (S, Q, k_local)
