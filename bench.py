@@ -166,6 +166,71 @@ def _cascade_bench(n_docs: int = 5000, n_queries: int = 500) -> dict:
     return out
 
 
+def _latency_bench(router, queries, n: int = 30) -> dict:
+    """Single-query serving latency (the per-request path a live service
+    pays: tokenize + encode + one padded dispatch + result pull)."""
+    import time
+
+    samples = []
+    for i in range(min(n, len(queries.queries))):
+        t0 = time.perf_counter()
+        router.retrieve([queries.queries[i]], [queries.langs[i]], k=10)
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return {
+        "single_query_p50_ms": round(samples[len(samples) // 2] * 1e3, 1),
+        "single_query_p90_ms": round(samples[int(len(samples) * 0.9)] * 1e3, 1),
+        "latency_samples": len(samples),
+    }
+
+
+def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
+                        batch: int = 256, peak_tflops: float = 394.0) -> dict:
+    """Dense (embedding) search throughput on the MXU: brute-force flat
+    top-10 over synthetic-random embeddings (search cost is independent of
+    embedding quality) + IVF at nlist=512/nprobe=16.  Reports MFU for the
+    flat path — it is one bf16 matmul, so utilization is judgeable."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdr.models.dense import (
+        build_flat_index, build_ivf_index, flat_search, ivf_search)
+
+    rng = np.random.RandomState(0)
+    emb = rng.randn(n_docs, dim).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    flat = build_flat_index(emb)
+    qs = [jnp.asarray(rng.randn(batch, dim).astype(np.float32))
+          for _ in range(8)]
+    jax.block_until_ready(qs)
+
+    jax.block_until_ready(flat_search(flat, qs[0], 10))
+    t0 = time.perf_counter()
+    outs = [flat_search(flat, q, 10) for q in qs]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / len(qs)
+    flops = 2.0 * batch * n_docs * dim
+    out = {
+        "dense_flat_qps": round(batch / dt, 1),
+        "dense_flat_ms_per_batch": round(dt * 1e3, 2),
+        "dense_flat_mfu": round(flops / dt / (peak_tflops * 1e12), 4),
+        "dense_n_docs": n_docs,
+        "dense_dim": dim,
+    }
+
+    ivf = build_ivf_index(emb, nlist=512)
+    jax.block_until_ready(ivf_search(ivf, qs[0], 10, nprobe=16))
+    t0 = time.perf_counter()
+    outs = [ivf_search(ivf, q, 10, nprobe=16) for q in qs]
+    jax.block_until_ready(outs)
+    dt_ivf = (time.perf_counter() - t0) / len(qs)
+    out["dense_ivf_qps_nprobe16"] = round(batch / dt_ivf, 1)
+    return out
+
+
 def main() -> None:
     from tdr.utils.jax_cache import enable as enable_jax_cache
 
@@ -230,6 +295,14 @@ def main() -> None:
     roofline = _kernel_roofline(models[biggest], batch=256, peak_gbps=peak_gbps)
     log.info("kernel roofline (%s): %s", biggest, roofline)
 
+    latency = _latency_bench(router, queries)
+    log.info("serving latency: %s", latency)
+
+    dense = {}
+    if os.environ.get("TDR_BENCH_DENSE", "1") == "1":
+        dense = _dense_search_bench()
+        log.info("dense search bench: %s", dense)
+
     cascade = {}
     if os.environ.get("TDR_BENCH_CASCADE", "1") == "1":
         cascade = _cascade_bench()
@@ -248,6 +321,8 @@ def main() -> None:
             "index_build_sec": round(build_s, 1),
             "retrieve_sec": round(elapsed, 2),
             "kernel_roofline_en": roofline,
+            "serving_latency": latency,
+            "dense_search": dense,
             "cascades": cascade,
             "device": str(jax.devices()[0]),
         },
