@@ -187,3 +187,23 @@ class TestTrainStateRoundtrip:
         _, other, _ = create_train_state(DenseConfig(vocab_size=800, dim=32, depth=2, heads=2, max_len=16))
         with pytest.raises(ValueError, match="mismatch"):
             load_train_state(path, other)
+
+
+def test_saved_index_keeps_pallas_dma_padding(tmp_path):
+    """Models saved by the current registry must round-trip the postings
+    padding the segment-DMA kernel needs (pallas_tail_available's bounds
+    check) — on CPU the availability is False regardless, so assert the
+    underlying invariant directly."""
+    from tdr.ckpt import load_sparse_model, save_sparse_model
+    from tdr.models import BM25Model
+    from tdr.ops.pallas_tail import dma_window
+
+    rng = np.random.RandomState(0)
+    docs = [[f"t{rng.randint(300)}" for _ in range(rng.randint(4, 30))]
+            for _ in range(120)]
+    model = BM25Model.build(docs, [f"d{i}" for i in range(120)])
+    save_sparse_model(str(tmp_path / "m"), model)
+    loaded = load_sparse_model(str(tmp_path / "m"))
+    nnz = int(np.asarray(loaded.index.indptr[-1]))
+    assert loaded.index.postings_doc.shape[0] >= nnz + dma_window(
+        loaded.index.tail_pmax)
