@@ -289,6 +289,11 @@ def main() -> None:
     recall = recall_at_k(results, queries.positive_docs, 10)
     log.info("retrieval: %.2fs for %d queries -> %.1f qps (hard recall@10=%.3f)",
              elapsed, n_queries, qps, recall)
+    from tdr.eval import evaluate_retrieval
+
+    eval_report = evaluate_retrieval(results, queries.positive_docs,
+                                     queries.langs, ks=(1, 5, 10))
+    log.info("eval report: %s", eval_report)
 
     # roofline on the largest partition
     biggest = max(models, key=lambda l: models[l].index.n_docs)
@@ -317,6 +322,7 @@ def main() -> None:
             "n_docs": n_docs,
             "n_queries": n_queries,
             "hard_recall_at_10": round(recall, 4),
+            "eval_report": eval_report,
             "reference_recall_at_10_real_data": BASELINE_RECALL,
             "index_build_sec": round(build_s, 1),
             "retrieve_sec": round(elapsed, 2),

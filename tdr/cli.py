@@ -9,6 +9,7 @@ README order with pickles appearing in the working directory (README.md
     python -m tdr.cli eval     --index idx/ --queries dev.csv
     python -m tdr.cli validate --submission submission.csv
     python -m tdr.cli synth    --docs 1000 --queries 100 --out data/
+    python -m tdr.cli serve    --index idx/            # JSON-lines server
 """
 
 from __future__ import annotations
@@ -60,6 +61,91 @@ def _cmd_retrieve(args) -> int:
         return 1
     log.info("wrote %s (%d queries, top-%d)", args.out, len(results), args.k)
     return 0
+
+
+def _cmd_serve(args) -> int:
+    """Long-running JSON-lines server over stdin/stdout.
+
+    One request per line: {"query": "...", "lang": "en", "k": 10} (lang
+    and k optional — unknown languages route via detection).  Requests
+    within --window ms coalesce into one padded device batch, so
+    interactive clients get single-query latency while bulk pipes get
+    batched throughput.  Response per line:
+    {"query": ..., "docids": [...], "scores": [...]}.  Results follow
+    request order within a batch; malformed lines get an immediate
+    {"error": ...} (correlate by the echoed query).
+    """
+    import time
+
+    from tdr.ckpt import load_registry
+    from tdr.rank import LanguageRouter
+    from tdr.utils.trace import log
+
+    models = load_registry(args.index)
+    router = LanguageRouter(models, query_batch=args.batch)
+    # warm the single-batch compile before accepting traffic
+    router.retrieve(["warmup"], [sorted(models)[0]], k=args.k)
+    log.info("serving %d models (batch %d, window %.0f ms); one JSON per line",
+             len(models), args.batch, args.window_ms)
+
+    buf = []
+
+    def flush():
+        if not buf:
+            return
+        queries = [r.get("query", "") for r in buf]
+        langs = [r.get("lang") for r in buf]
+        k = max(int(r.get("k", args.k)) for r in buf)
+        t0 = time.perf_counter()
+        res, scores = router.retrieve_with_scores(queries, langs, k=k)
+        dt = (time.perf_counter() - t0) * 1e3
+        for i, r in enumerate(buf):
+            kk = int(r.get("k", args.k))
+            sys.stdout.write(json.dumps({
+                "query": r.get("query", ""),
+                "docids": res[i][:kk],
+                "scores": [round(float(s), 4) for s in scores[i][:len(res[i][:kk])]],
+                "batch_ms": round(dt, 1),
+            }) + "\n")
+        sys.stdout.flush()
+        buf.clear()
+
+    import select
+
+    while True:
+        # coalesce: after the first request, keep reading while more input
+        # arrives within the window (or the batch fills)
+        line = sys.stdin.readline()
+        if not line:
+            flush()
+            return 0
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            buf.append(json.loads(line))
+        except json.JSONDecodeError as e:
+            sys.stdout.write(json.dumps({"error": str(e)}) + "\n")
+            sys.stdout.flush()
+            continue
+        deadline = time.perf_counter() + args.window_ms / 1e3
+        while len(buf) < args.batch:
+            left = deadline - time.perf_counter()
+            if left <= 0:
+                break
+            ready, _, _ = select.select([sys.stdin], [], [], left)
+            if not ready:
+                break
+            nxt = sys.stdin.readline()
+            if not nxt:
+                break
+            nxt = nxt.strip()
+            if nxt:
+                try:
+                    buf.append(json.loads(nxt))
+                except json.JSONDecodeError as e:
+                    sys.stdout.write(json.dumps({"error": str(e)}) + "\n")
+        flush()
 
 
 def _cmd_eval(args) -> int:
@@ -204,6 +290,9 @@ def _cmd_synth(args) -> int:
 
 
 def main(argv=None) -> int:
+    from tdr.utils.jax_cache import enable as _enable_jax_cache
+
+    _enable_jax_cache()   # every static shape is a one-time compile cost
     p = argparse.ArgumentParser(prog="tdr", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -261,6 +350,15 @@ def main(argv=None) -> int:
     t.add_argument("--mesh", default=None, help="DATAxMODEL, e.g. 4x2")
     t.add_argument("--ivf", action="store_true")
     t.set_defaults(fn=_cmd_train)
+
+    sv = sub.add_parser("serve", help="JSON-lines retrieval server on stdin/stdout")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--batch", type=int, default=64)
+    sv.add_argument("--window-ms", type=float, default=5.0, dest="window_ms",
+                    help="coalescing window: requests arriving within this "
+                         "many ms share one device batch")
+    sv.set_defaults(fn=_cmd_serve)
 
     v = sub.add_parser("validate", help="validate a submission csv")
     v.add_argument("--submission", required=True)

@@ -207,3 +207,43 @@ def test_saved_index_keeps_pallas_dma_padding(tmp_path):
     nnz = int(np.asarray(loaded.index.indptr[-1]))
     assert loaded.index.postings_doc.shape[0] >= nnz + dma_window(
         loaded.index.tail_pmax)
+
+
+def test_cli_serve_json_lines(tmp_path):
+    """serve: JSON-lines in → ranked results out, error lines for bad
+    input, clean EOF shutdown."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=300, n_queries=8, seed=3, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+
+    reqs = "".join(_json.dumps({"query": q, "lang": "en", "k": 5}) + "\n"
+                   for q in queries.queries[:4])
+    reqs += "garbage line\n"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve",
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "8"],
+        input=reqs.encode(), capture_output=True, timeout=570, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr.decode()[-500:]
+    out = [_json.loads(l) for l in p.stdout.decode().splitlines() if l.strip()]
+    results = [r for r in out if "docids" in r]
+    errors = [r for r in out if "error" in r]
+    assert len(results) == 4 and len(errors) == 1
+    assert all(len(r["docids"]) == len(r["scores"]) for r in results)
+    assert any(r["docids"] for r in results)
+    # echoed queries preserve request order within the batch
+    assert [r["query"] for r in results] == list(queries.queries[:4])
