@@ -52,16 +52,32 @@ class SparseModel:
 
     # -- query encoding ------------------------------------------------------
 
-    def encode_query_tokens(
+    def encode_query_tokens_np(
         self, token_lists: Sequence[Sequence[str]]
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side query encoding (no device transfer) — callers that
+        batch many chunks upload all encodings in one device_put."""
         qids, qw = encode_queries(token_lists, self.vocab, self.max_query_terms)
         if self.query_weight == "idf":
             # cosine query vector = idf per present term
             # (cosine_similarity_bm25_reranking.py:121-126)
             idf = np.asarray(self.index.stats.idf)
             qw = np.where(qw > 0, idf[np.clip(qids, 0, idf.shape[0] - 1)] * qw, 0.0).astype(np.float32)
+        return qids, qw
+
+    def encode_query_tokens(
+        self, token_lists: Sequence[Sequence[str]]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        qids, qw = self.encode_query_tokens_np(token_lists)
         return jnp.asarray(qids), jnp.asarray(qw)
+
+    def topk_encoded_async(self, qids, qw, k: int = 10):
+        """Scoring from already-encoded (device or host) query arrays."""
+        if self.use_fused_topk:
+            return score_and_topk_fused(self.index, qids, qw, top_k=k,
+                                        tail_budget=self.tail_budget,
+                                        tail_engine=self._resolved_tail_engine())
+        return score_and_topk(self.index, qids, qw, top_k=k)
 
     # -- scoring -------------------------------------------------------------
 
@@ -87,12 +103,7 @@ class SparseModel:
         if pad_to is not None and n < pad_to:
             token_lists = list(token_lists) + [[]] * (pad_to - n)
         qids, qw = self.encode_query_tokens(token_lists)
-        if self.use_fused_topk:
-            vals, rows = score_and_topk_fused(self.index, qids, qw, top_k=k,
-                                              tail_budget=self.tail_budget,
-                                              tail_engine=self._resolved_tail_engine())
-        else:
-            vals, rows = score_and_topk(self.index, qids, qw, top_k=k)
+        vals, rows = self.topk_encoded_async(qids, qw, k)
         return vals, rows, n
 
     def retrieve_tokens(

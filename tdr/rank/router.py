@@ -284,9 +284,14 @@ class LanguageRouter:
                         chunk, k, pad_to=self.query_batch)
                     pending.append((model, sel, vals, rows, n))
                 else:
+                    # sharded models encode + sync internally
                     vals, rows = model.topk_tokens(chunk, k,
                                                    pad_to=self.query_batch)
                     resolved.append((model, sel, vals, rows))
+        # (A grouped-upload variant — encode a whole language group and
+        # device_put it once — was built and A/B'd: no reliable win over
+        # per-batch uploads on this backend, so the simpler flow stays.)
+
         if pending:
             vals_all, rows_all = _gather_pending(
                 [p[2] for p in pending], [p[3] for p in pending])
