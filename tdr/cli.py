@@ -29,6 +29,11 @@ def _cmd_build(args) -> int:
     from tdr.utils.trace import Tracer, log
 
     cfg = TdrConfig.from_json(open(args.config).read()) if args.config else TdrConfig()
+    if args.head_budget_gb is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, index=_dc.replace(
+            cfg.index, head_budget_bytes=int(args.head_budget_gb * (1 << 30))))
     corpus = load_corpus(args.corpus)
     model_cls = {"bm25": BM25Model, "cosine": TfidfCosineModel}[args.model]
     tracer = Tracer("build")
@@ -75,6 +80,7 @@ def _cmd_serve(args) -> int:
     request order within a batch; malformed lines get an immediate
     {"error": ...} (correlate by the echoed query).
     """
+    import select
     import time
 
     from tdr.ckpt import load_registry
@@ -83,69 +89,123 @@ def _cmd_serve(args) -> int:
 
     models = load_registry(args.index)
     router = LanguageRouter(models, query_batch=args.batch)
-    # warm the single-batch compile before accepting traffic
-    router.retrieve(["warmup"], [sorted(models)[0]], k=args.k)
+    # warm the padded-batch compile for EVERY language before accepting
+    # traffic (a first request routed to a cold language would otherwise
+    # block on a jit compile mid-stream)
+    for lang in sorted(models):
+        router.retrieve(["warmup"], [lang], k=args.k)
     log.info("serving %d models (batch %d, window %.0f ms); one JSON per line",
              len(models), args.batch, args.window_ms)
 
-    buf = []
+    def emit(obj):
+        sys.stdout.write(json.dumps(obj) + "\n")
+        if "error" in obj:
+            sys.stdout.flush()   # error-only streams must not sit buffered
 
-    def flush():
+    def parse_request(line: str):
+        """line → request dict, or None after emitting an error object.
+        Any valid-JSON-but-wrong-shape input must NOT kill the server."""
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError as e:
+            emit({"error": str(e)})
+            return None
+        if not isinstance(r, dict) or not isinstance(r.get("query", ""), str):
+            emit({"error": "request must be an object with a string 'query'"})
+            return None
+        k = r.get("k", args.k)
+        if not isinstance(k, int) or k < 1:
+            emit({"error": "'k' must be a positive integer", "query": r.get("query", "")})
+            return None
+        lang = r.get("lang")
+        if lang is not None and not isinstance(lang, str):
+            emit({"error": "'lang' must be a string", "query": r.get("query", "")})
+            return None
+        # cap k at the warmed shape: larger k would compile a new top-k
+        # mid-stream (30-190 s on a remote compiler)
+        r["k"] = min(k, args.k)
+        return r
+
+    def flush(buf):
         if not buf:
             return
         queries = [r.get("query", "") for r in buf]
         langs = [r.get("lang") for r in buf]
-        k = max(int(r.get("k", args.k)) for r in buf)
         t0 = time.perf_counter()
-        res, scores = router.retrieve_with_scores(queries, langs, k=k)
+        res, scores = router.retrieve_with_scores(queries, langs, k=args.k)
         dt = (time.perf_counter() - t0) * 1e3
         for i, r in enumerate(buf):
-            kk = int(r.get("k", args.k))
-            sys.stdout.write(json.dumps({
+            kk = r["k"]
+            emit({
                 "query": r.get("query", ""),
                 "docids": res[i][:kk],
-                "scores": [round(float(s), 4) for s in scores[i][:len(res[i][:kk])]],
+                "scores": [round(float(s), 4)
+                           for s in scores[i][:len(res[i][:kk])]],
                 "batch_ms": round(dt, 1),
-            }) + "\n")
+            })
         sys.stdout.flush()
         buf.clear()
 
-    import select
+    # fd-level buffered reader: select() on the raw fd is only meaningful
+    # when WE own the buffer — sys.stdin.readline() drains whole pipe
+    # chunks into the TextIOWrapper, making select lie about pending lines
+    fd = sys.stdin.fileno()
+    pending = bytearray()
+    eof = False
 
+    def next_line(timeout):
+        """One line (without newline) within ``timeout`` seconds, or None.
+        timeout=None blocks until a line or EOF."""
+        nonlocal pending, eof
+        deadline = None if timeout is None else time.perf_counter() + timeout
+        while True:
+            nl = pending.find(b"\n")
+            if nl >= 0:
+                line = pending[:nl].decode("utf-8", "replace")
+                del pending[:nl + 1]
+                return line
+            if eof:
+                if pending:
+                    line = pending.decode("utf-8", "replace")
+                    pending.clear()
+                    return line
+                return None
+            left = None if deadline is None else deadline - time.perf_counter()
+            if left is not None and left <= 0:
+                return None
+            ready, _, _ = select.select([fd], [], [], left)
+            if not ready:
+                return None
+            chunk = os.read(fd, 1 << 16)
+            if not chunk:
+                eof = True
+            else:
+                pending.extend(chunk)
+
+    buf = []
     while True:
-        # coalesce: after the first request, keep reading while more input
-        # arrives within the window (or the batch fills)
-        line = sys.stdin.readline()
-        if not line:
-            flush()
+        line = next_line(None)
+        if line is None:
+            flush(buf)
             return 0
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            buf.append(json.loads(line))
-        except json.JSONDecodeError as e:
-            sys.stdout.write(json.dumps({"error": str(e)}) + "\n")
-            sys.stdout.flush()
-            continue
+        if line.strip():
+            r = parse_request(line.strip())
+            if r is not None:
+                buf.append(r)
+        # coalesce: requests already buffered or arriving within the window
+        # share one padded device batch
         deadline = time.perf_counter() + args.window_ms / 1e3
         while len(buf) < args.batch:
-            left = deadline - time.perf_counter()
-            if left <= 0:
+            nxt = next_line(max(0.0, deadline - time.perf_counter()))
+            if nxt is None:
                 break
-            ready, _, _ = select.select([sys.stdin], [], [], left)
-            if not ready:
-                break
-            nxt = sys.stdin.readline()
-            if not nxt:
-                break
-            nxt = nxt.strip()
-            if nxt:
-                try:
-                    buf.append(json.loads(nxt))
-                except json.JSONDecodeError as e:
-                    sys.stdout.write(json.dumps({"error": str(e)}) + "\n")
-        flush()
+            if nxt.strip():
+                r = parse_request(nxt.strip())
+                if r is not None:
+                    buf.append(r)
+        flush(buf)
+        if eof and not pending:
+            return 0
 
 
 def _cmd_eval(args) -> int:
@@ -298,6 +358,11 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build per-language index registry")
+    b.add_argument("--head-budget-gb", type=float, default=4.0,
+                   dest="head_budget_gb",
+                   help="TOTAL dense-head budget waterfilled across "
+                        "languages (full-vocab coverage saturates a "
+                        "language and frees the rest)")
     b.add_argument("--corpus", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--model", choices=["bm25", "cosine"], default="bm25")

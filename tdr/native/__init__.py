@@ -34,6 +34,7 @@ class _TdrResult(ctypes.Structure):
 
 
 _lib: Optional[ctypes.CDLL] = None
+_load_lock = __import__("threading").Lock()
 
 
 class _TdrCorpusResult(ctypes.Structure):
@@ -47,6 +48,17 @@ class _TdrCorpusResult(ctypes.Structure):
 
 
 def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> ctypes.CDLL:
+    # serialized: the router's thread pool can race the lazy `make` —
+    # concurrent -B rebuilds of the same .so can dlopen a half-written
+    # file or relink one already mapped by another thread
     global _lib
     if _lib is not None:
         return _lib
@@ -99,11 +111,14 @@ def parse_corpus_json(data: bytes):
         # blob (4 bytes/char + full-width slice copies; measured 5x slower)
         docids, texts, langs = [], [], []
         mv = memoryview(blob)
-        for i in range(n):
-            j = 3 * i
-            docids.append(str(mv[offs[j]:offs[j + 1]], "utf-8"))
-            texts.append(str(mv[offs[j + 1]:offs[j + 2]], "utf-8"))
-            langs.append(str(mv[offs[j + 2]:offs[j + 3]], "utf-8"))
+        try:
+            for i in range(n):
+                j = 3 * i
+                docids.append(str(mv[offs[j]:offs[j + 1]], "utf-8"))
+                texts.append(str(mv[offs[j + 1]:offs[j + 2]], "utf-8"))
+                langs.append(str(mv[offs[j + 2]:offs[j + 3]], "utf-8"))
+        except UnicodeDecodeError as e:   # defensive: callers match ValueError
+            raise ValueError(f"native corpus parse: bad utf-8 ({e})") from e
         return docids, texts, langs
     finally:
         lib.tdr_free_corpus(res)

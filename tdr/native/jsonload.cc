@@ -111,22 +111,23 @@ struct Parser {
             uint32_t cp;
             if (!hex4(&cp)) return false;
             if (cp >= 0xD800 && cp <= 0xDBFF) {
-              // high surrogate: a low surrogate must follow
+              // high surrogate: a low surrogate must follow.  Lone
+              // surrogates are an ERROR, not U+FFFD: json.load keeps them
+              // as lone-surrogate str code points, which UTF-8 cannot
+              // carry — failing here routes the record through the
+              // json.load fallback so behavior matches the oracle.
               if (end - p >= 6 && p[0] == '\\' && p[1] == 'u') {
                 p += 2;
                 uint32_t lo;
                 if (!hex4(&lo)) return false;
-                if (lo >= 0xDC00 && lo <= 0xDFFF) {
-                  cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
-                } else {
-                  append_utf8(out, 0xFFFD);  // lone high surrogate
-                  cp = lo;
-                }
+                if (lo < 0xDC00 || lo > 0xDFFF)
+                  return fail("lone utf-16 surrogate escape");
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
               } else {
-                cp = 0xFFFD;
+                return fail("lone utf-16 surrogate escape");
               }
             } else if (cp >= 0xDC00 && cp <= 0xDFFF) {
-              cp = 0xFFFD;  // lone low surrogate
+              return fail("lone utf-16 surrogate escape");
             }
             append_utf8(out, cp);
             break;
@@ -139,7 +140,26 @@ struct Parser {
     return fail("unterminated string");
   }
 
-  // capture a non-string scalar (number / true / false / null) verbatim
+  // capture an INTEGER literal verbatim (str(int) == the literal form).
+  // Floats/exponents are rejected on purpose: Python str(float) does not
+  // match the literal ("4e2" -> "400.0"), so those fall back to json.load
+  // rather than silently diverging from the oracle; so does any bare
+  // garbage token (json.load raises there).
+  bool raw_int(std::string* out) {
+    ws();
+    const char* s = p;
+    if (p < end && *p == '-') ++p;
+    while (p < end && *p >= '0' && *p <= '9') ++p;
+    if (p == s || (p == s + 1 && *s == '-'))
+      return fail("non-integer docid literal");
+    if (p < end && *p != ',' && *p != '}' && *p != ' ' && *p != '\t' &&
+        *p != '\n' && *p != '\r')
+      return fail("non-integer docid literal");
+    out->assign(s, (size_t)(p - s));
+    return true;
+  }
+
+  // skip a non-string scalar token (value of an unknown key)
   bool raw_scalar(std::string* out) {
     ws();
     const char* s = p;
@@ -235,7 +255,7 @@ TdrCorpusResult* tdr_parse_corpus(const char* buf, int64_t len) {
             have_docid = true;
             // str(r["docid"]) semantics: ints keep their literal form
             ok = (ps.p < ps.end && *ps.p == '"') ? ps.string(&docid)
-                                                 : ps.raw_scalar(&docid);
+                                                 : ps.raw_int(&docid);
           } else if (key == "text") {
             text.clear();
             have_text = true;

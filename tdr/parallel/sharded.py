@@ -236,6 +236,10 @@ def sharded_score_topk(
         # dynamic, hence n_valid
         vals, rows = score_and_topk_fused(local, qids, qw, top_k=k_local,
                                           n_valid=n_valid[0])
+        # -inf entries can carry the fused core's tail sentinel id
+        # (n_docs_pad == one past the local range) — pin them to local 0 so
+        # a global row never points into the NEXT shard's doc range
+        rows = jnp.where(jnp.isfinite(vals), rows, 0)
         my = jax.lax.axis_index("data")
         grows = rows + my * n_loc_pad
         # gather every shard's candidates: (S, Q, k_local)

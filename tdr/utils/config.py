@@ -59,11 +59,13 @@ class IndexConfig:
     # Head/tail split for the TPU scoring kernel: terms with df >= head_min_df
     # get dense bf16 score rows (MXU/VPU path); the long-tail stays CSR.
     head_min_df: int = 0          # 0 = auto from head_budget_bytes
-    head_budget_bytes: int = 1 << 32   # 4 GiB TOTAL dense-head budget —
-    # the router waterfills it across languages, capped at full-vocab
-    # coverage each (router._waterfill_head_budget); at reference scale
-    # en saturates (~2.1 GiB, empty tail -> pure-MXU scoring) and the
-    # rest flows to the bigram-inflated vocabs.  ~16 GiB HBM assumed.
+    head_budget_bytes: int = 1 << 31   # dense-head budget.  Semantics
+    # depend on the builder: build_language_models treats it as the
+    # TOTAL across languages (waterfilled, capped at full-vocab
+    # coverage each); direct builders (BM25Model.build, sharded) use it
+    # per index — hence a conservative 2 GiB default.  Registry builds
+    # at reference scale pass ~4 GiB so en saturates (CLI --head-budget-gb,
+    # bench TDR_HEAD_BUDGET).
     # dense head rows dtype: "bfloat16" halves HBM traffic of the dominant
     # head-row gathers (CSR weights stay float32); use "float32" when
     # bitwise score parity with the f64 formulas matters more than speed

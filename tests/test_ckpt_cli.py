@@ -247,3 +247,45 @@ def test_cli_serve_json_lines(tmp_path):
     assert any(r["docids"] for r in results)
     # echoed queries preserve request order within the batch
     assert [r["query"] for r in results] == list(queries.queries[:4])
+
+
+def test_cli_serve_rejects_bad_requests_without_dying(tmp_path):
+    """Valid-JSON-but-wrong-shape requests must answer with an error line
+    and leave the server alive for subsequent requests."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=200, n_queries=4, seed=4, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+
+    reqs = "\n".join([
+        "5",                                          # not an object
+        '{"query": 7}',                               # non-string query
+        '{"query": "x", "k": "many"}',                # bad k type
+        '{"query": "x", "k": 0}',                     # non-positive k
+        '{"query": "x", "lang": 3}',                  # bad lang type
+        _json.dumps({"query": queries.queries[0], "lang": "en",
+                     "k": 999999}),                   # k capped, must work
+    ]) + "\n"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve",
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "8"],
+        input=reqs.encode(), capture_output=True, timeout=570, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr.decode()[-500:]
+    out = [_json.loads(l) for l in p.stdout.decode().splitlines() if l.strip()]
+    assert sum("error" in r for r in out) == 5
+    results = [r for r in out if "docids" in r]
+    assert len(results) == 1 and len(results[0]["docids"]) <= 5

@@ -246,3 +246,23 @@ class TestNativeCorpusParser:
         with pytest.raises(ValueError):
             native.parse_corpus_json(
                 b'[{"docid": "a", "text": "x"}] [{"docid": "b", "text": "y"}]')
+
+    def test_float_docid_falls_back(self):
+        """Non-integer docid literals must ERROR natively (str(4e2) ==
+        '400.0' in Python — the literal form would silently diverge), so
+        load_corpus falls back to json.load and both paths agree."""
+        from tdr import native
+
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(b'[{"docid": 4e2, "text": "t"}]')
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(b'[{"docid": bogus, "text": "t"}]')
+
+    def test_lone_surrogate_falls_back(self):
+        from tdr import native
+
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(
+                b'[{"docid": "a", "text": "\\ud800\\ud800"}]')
+        with pytest.raises(ValueError):
+            native.parse_corpus_json(b'[{"docid": "a", "text": "\\udc00"}]')
