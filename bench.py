@@ -39,17 +39,34 @@ BASELINE_RECALL = 0.77599       # reference Kaggle Recall@10 (real data; the
                                 # is reported so regressions are visible)
 
 
-def _kernel_roofline(model, batch: int, peak_gbps: float):
-    """Time the fused device scoring pass on one index and compare a
-    bytes-moved model against peak HBM bandwidth.
+def _kernel_roofline(model, batch: int, peak_gbps: float,
+                     peak_tflops: float = 197.0):
+    """Time the fused device scoring pass on one index against a byte AND
+    flop model of the PRODUCTION engine (VERDICT r2 #1a: the previous model
+    described the retired batch-unique-slot engine).
 
-    Model (per batch of Q queries, N_pad docs, matmul head):
-      unique-row gather    2 * U * N_pad * head_bytes    (write + matmul read;
-                           U = distinct active head slots in the batch)
-      head scores + top_k  2 * Q * N_pad * 4             (materialize + scan)
-      tail posting gather  Q * T * P * 12                (doc,w,tf streams)
+    The shipping engine (tdr/ops/score.py `_fused_topk_core`) is:
+      1. full-head MXU matmul  W (Q, D) @ head_rows (D, N)
+         — reads the ENTIRE head matrix once per batch regardless of how
+           many rows the queries touch:      D * N * head_bytes
+         — writes the f32 score matrix:      Q * N * 4
+      2. top-k over the score matrix — reads it back:  Q * N * 4
+         (the grouped top-k also reads the k*G candidate gather, < 1%)
+      3. tail (skipped when the head covers the vocab): compacted posting
+         DMA + sorts, ~ Q * tail_budget * 8
+    FLOPs: 2 * Q * D * N for the matmul (the MXU contracts the full W even
+    though it is mostly zeros — that is the engine's design trade).
+
+    The floor is max(bytes / peak_bw, flops / peak_flops); `roofline_frac`
+    is floor / measured — the fraction of speed-of-light the engine runs
+    at under ITS OWN traffic model.  `hbm_utilization` is achieved bytes/s
+    over peak, comparable across rounds.
+
+    Memoization guard: the axon backend caches identical dispatches, so
+    each timed call uses a DIFFERENT query batch (pipelined, one sync).
     """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from tdr.ops.score import score_and_topk_fused
@@ -58,44 +75,51 @@ def _kernel_roofline(model, batch: int, peak_gbps: float):
     Q = batch
     T = model.max_query_terms
     rng = np.random.RandomState(0)
-    qids = rng.randint(0, index.vocab_size, (Q, T)).astype(np.int32)
-    qw = np.zeros((Q, T), np.float32)
-    qw[:, :6] = 1.0  # ~6 active terms per query, like the bench queries
-    import jax.numpy as jnp
+    n_rep = 8
+    batches = []
+    for r in range(n_rep + 1):
+        qids = rng.randint(0, index.vocab_size, (Q, T)).astype(np.int32)
+        qw = np.zeros((Q, T), np.float32)
+        qw[:, :6] = 1.0  # ~6 active terms per query, like the bench queries
+        batches.append((jnp.asarray(qids), jnp.asarray(qw)))
 
-    qids_d, qw_d = jnp.asarray(qids), jnp.asarray(qw)
     engine = model._resolved_tail_engine()
-    fn = lambda: score_and_topk_fused(index, qids_d, qw_d, top_k=10,
-                                      tail_budget=model.tail_budget,
-                                      tail_engine=engine)
-    jax.block_until_ready(fn())  # compile + warm
-    n_rep = 5
+    fn = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
+                                        tail_budget=model.tail_budget,
+                                        tail_engine=engine)
+    jax.block_until_ready(fn(batches[-1]))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn()
-    jax.block_until_ready(out)
+    outs = [fn(b) for b in batches[:n_rep]]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n_rep
 
-    N = index.n_docs_pad
+    N = int(index.n_docs_pad)
+    D = int(index.head_rows.shape[0])
     head_bytes = index.head_rows.dtype.itemsize
-    P = index.tail_pmax
-    # distinct active head slots in this batch (the matmul head gathers each
-    # unique row once)
-    slots = np.asarray(index.head_slot)[np.clip(qids, 0, index.vocab_size - 1)]
-    u_eff = int(min(2048, len(np.unique(slots[(slots >= 0) & (qw > 0)]))))
-    model_bytes = (2 * u_eff * N * head_bytes) + (2 * Q * N * 4) + (Q * T * P * 12)
+    covers = bool(index.head_size >= index.vocab_size)
+    model_bytes = D * N * head_bytes + 2 * Q * N * 4
+    if not covers:
+        model_bytes += Q * min(model.tail_budget, 16 * index.tail_pmax) * 8
+    model_flops = 2.0 * Q * D * N
+    t_bw = model_bytes / (peak_gbps * 1e9)
+    t_fl = model_flops / (peak_tflops * 1e12)
+    floor = max(t_bw, t_fl)
     gbps = model_bytes / dt / 1e9
     return {
         "batch": Q,
-        "n_docs_pad": int(N),
+        "n_docs_pad": N,
+        "head_rows": D,
         "tail_engine": engine,
-        "head_covers_vocab": bool(index.head_size >= index.vocab_size),
-        "unique_head_rows": u_eff,
+        "head_covers_vocab": covers,
         "kernel_ms_per_batch": round(dt * 1e3, 2),
         "model_bytes_per_batch": int(model_bytes),
+        "model_gflops_per_batch": round(model_flops / 1e9, 1),
+        "floor_ms_bandwidth": round(t_bw * 1e3, 2),
+        "floor_ms_compute": round(t_fl * 1e3, 2),
         "achieved_gbps": round(gbps, 1),
         "peak_gbps": peak_gbps,
         "hbm_utilization": round(gbps / peak_gbps, 3),
+        "roofline_frac": round(floor / dt, 3),
     }
 
 
@@ -167,9 +191,30 @@ def _cascade_bench(n_docs: int = 5000, n_queries: int = 500) -> dict:
 
 
 def _latency_bench(router, queries, n: int = 30) -> dict:
-    """Single-query serving latency (the per-request path a live service
-    pays: tokenize + encode + one padded dispatch + result pull)."""
+    """Single-query serving latency, decomposed (VERDICT r2 #6).
+
+    Reports the bare backend round-trip floor — one no-op dispatch plus a
+    1-element device→host pull, which on the axon tunnel is a 30-50 ms RPC
+    — so `p50 − floor` isolates the framework's own per-request overhead
+    (tokenize + encode + padded scoring kernel + result decode)."""
     import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # backend floor: dispatch a trivial kernel on fresh input and pull the
+    # scalar result (fresh input per call defeats the backend's dispatch
+    # memoization)
+    noop = jax.jit(lambda x: x + 1.0)
+    np.asarray(noop(jnp.zeros((), jnp.float32)))  # warm/compile
+    floors = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        np.asarray(noop(jnp.float32(i)))
+        floors.append(time.perf_counter() - t0)
+    floors.sort()
+    floor_p50 = floors[len(floors) // 2]
 
     samples = []
     for i in range(min(n, len(queries.queries))):
@@ -177,15 +222,18 @@ def _latency_bench(router, queries, n: int = 30) -> dict:
         router.retrieve([queries.queries[i]], [queries.langs[i]], k=10)
         samples.append(time.perf_counter() - t0)
     samples.sort()
+    p50 = samples[len(samples) // 2]
     return {
-        "single_query_p50_ms": round(samples[len(samples) // 2] * 1e3, 1),
+        "single_query_p50_ms": round(p50 * 1e3, 1),
         "single_query_p90_ms": round(samples[int(len(samples) * 0.9)] * 1e3, 1),
+        "backend_floor_p50_ms": round(floor_p50 * 1e3, 1),
+        "framework_overhead_p50_ms": round((p50 - floor_p50) * 1e3, 1),
         "latency_samples": len(samples),
     }
 
 
 def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
-                        batch: int = 256, peak_tflops: float = 394.0) -> dict:
+                        batch: int = 256, peak_tflops: float = 197.0) -> dict:
     """Dense (embedding) search throughput on the MXU: brute-force flat
     top-10 over synthetic-random embeddings (search cost is independent of
     embedding quality) + IVF at nlist=512/nprobe=16.  Reports MFU for the
@@ -213,10 +261,21 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / len(qs)
     flops = 2.0 * batch * n_docs * dim
+    # bytes model for the shipping engine (matmul + grouped top-k,
+    # tdr/ops/topk.py): read the bf16 doc matrix once, write the f32 score
+    # matrix, read it back for the group-max pass (the candidate gather is
+    # k*128 columns per query, <1%)
+    n_pad = int(flat.embeddings.shape[0])
+    model_bytes = n_pad * dim * 2 + 2 * batch * n_pad * 4
+    peak_gbps = float(os.environ.get("TDR_PEAK_GBPS", 819.0))
+    floor = max(model_bytes / (peak_gbps * 1e9), flops / (peak_tflops * 1e12))
     out = {
         "dense_flat_qps": round(batch / dt, 1),
         "dense_flat_ms_per_batch": round(dt * 1e3, 2),
         "dense_flat_mfu": round(flops / dt / (peak_tflops * 1e12), 4),
+        "dense_flat_model_bytes": int(model_bytes),
+        "dense_flat_floor_ms": round(floor * 1e3, 2),
+        "dense_flat_roofline_frac": round(floor / dt, 3),
         "dense_n_docs": n_docs,
         "dense_dim": dim,
     }
@@ -280,15 +339,23 @@ def main() -> None:
         router.retrieve([queries.queries[i]], [l], k=10)
     router.retrieve(queries.queries, queries.langs, k=10)
 
-    t0 = time.perf_counter()
-    results = router.retrieve(queries.queries, queries.langs, k=10)
-    jax.block_until_ready(jax.numpy.zeros(()))
-    elapsed = time.perf_counter() - t0
+    # median of n_timed full passes (VERDICT r2 #2: the headline must be
+    # the captured artifact with its variance visible, not a best manual run)
+    n_timed = int(os.environ.get("TDR_BENCH_REPS", 3))
+    times = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        results = router.retrieve(queries.queries, queries.langs, k=10)
+        jax.block_until_ready(jax.numpy.zeros(()))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    elapsed = times[len(times) // 2]
 
     qps = n_queries / elapsed
     recall = recall_at_k(results, queries.positive_docs, 10)
-    log.info("retrieval: %.2fs for %d queries -> %.1f qps (hard recall@10=%.3f)",
-             elapsed, n_queries, qps, recall)
+    log.info("retrieval: median %.2fs of %s for %d queries -> %.1f qps "
+             "(hard recall@10=%.3f)",
+             elapsed, [round(t, 2) for t in times], n_queries, qps, recall)
     from tdr.eval import evaluate_retrieval
 
     eval_report = evaluate_retrieval(results, queries.positive_docs,

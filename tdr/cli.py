@@ -114,7 +114,7 @@ def _cmd_serve(args) -> int:
             emit({"error": "request must be an object with a string 'query'"})
             return None
         k = r.get("k", args.k)
-        if not isinstance(k, int) or k < 1:
+        if not isinstance(k, int) or isinstance(k, bool) or k < 1:
             emit({"error": "'k' must be a positive integer", "query": r.get("query", "")})
             return None
         lang = r.get("lang")
@@ -358,11 +358,12 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build per-language index registry")
-    b.add_argument("--head-budget-gb", type=float, default=4.0,
+    b.add_argument("--head-budget-gb", type=float, default=None,
                    dest="head_budget_gb",
                    help="TOTAL dense-head budget waterfilled across "
                         "languages (full-vocab coverage saturates a "
-                        "language and frees the rest)")
+                        "language and frees the rest); default: the "
+                        "config value (4 GiB)")
     b.add_argument("--corpus", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--model", choices=["bm25", "cosine"], default="bm25")

@@ -72,6 +72,11 @@ class SyntheticSpec:
     query_len: int = 6
     signature_terms: int = 4         # per-doc distinctive terms
     noise_query_terms: int = 2       # common terms mixed into each query
+    sentences_per_doc: int = 1       # >1 inserts '.' sentence boundaries so
+                                     # the sentence-level pipeline (team_run1
+                                     # '{docid}_{idx}' explode) has real work;
+                                     # token content is unchanged (preprocess
+                                     # strips punctuation)
 
     # -- hard mode (de-saturated eval) --------------------------------------
     # Docs are generated in near-duplicate groups sharing all but one
@@ -177,7 +182,14 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
                 for _ in range(reps):
                     body.insert(rng.randint(0, len(body)), s)
             docids.append(f"doc-{lang}-{did}")
-            texts.append(" ".join(body))
+            if spec.sentences_per_doc > 1:
+                ns = min(spec.sentences_per_doc, max(1, len(body)))
+                cuts = np.linspace(0, len(body), ns + 1).astype(int)
+                texts.append(". ".join(
+                    " ".join(body[a:b]) for a, b in zip(cuts[:-1], cuts[1:])
+                    if b > a))
+            else:
+                texts.append(" ".join(body))
             doc_langs.append(lang)
             signatures.append(sig)
             if spec.hard:

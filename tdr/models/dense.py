@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tdr.models.encoder import DualEncoder, encode
+from tdr.ops.topk import topk_grouped
 from tdr.text.hash_tokenizer import encode_batch
 from tdr.utils.config import DenseConfig
 
@@ -74,7 +75,7 @@ def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10):
     doc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(doc_iota < index.n_docs, scores, NEG_INF)
     k = min(top_k, scores.shape[1])
-    vals, rows = jax.lax.top_k(scores, k)
+    vals, rows = topk_grouped(scores, k)
     if k < top_k:
         vals = jnp.pad(vals, ((0, 0), (0, top_k - k)), constant_values=-jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, top_k - k)))

@@ -86,10 +86,14 @@ struct Parser {
       // bulk-copy fast path: most corpus text has no escapes — copy the
       // whole unescaped span in one append instead of byte-at-a-time
       const char* run = p;
-      while (p < end && *p != '"' && *p != '\\') ++p;
+      while (p < end && *p != '"' && *p != '\\' &&
+             (unsigned char)*p >= 0x20) ++p;
       if (p > run) out->append(run, (size_t)(p - run));
       if (p >= end) break;
       unsigned char c = (unsigned char)*p;
+      // json.load (the declared parity oracle) rejects raw control bytes
+      // inside strings — fail so such records route through the fallback
+      if (c < 0x20) return fail("raw control character in string");
       if (c == '"') {
         ++p;
         return true;

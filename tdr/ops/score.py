@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from tdr.index.build import SparseIndex
+from tdr.ops.topk import topk_grouped
 
 NEG_INF = jnp.float32(-jnp.inf)
 # query language code that matches every document (unknown-language queries
@@ -217,7 +218,7 @@ def topk_language_filtered(
     (plain top-k) — used when the query's language is unknown."""
     q = query_langs[:, None]
     mask = (doc_langs[None, :] == q) | (q == WILDCARD_LANG)
-    return jax.lax.top_k(jnp.where(mask, scores, NEG_INF), top_k)
+    return topk_grouped(jnp.where(mask, scores, NEG_INF), top_k)
 
 
 def _scatter_topk(
@@ -227,7 +228,7 @@ def _scatter_topk(
     scores = mask_invalid_docs(score_batch_raw(index, qids, qw),
                                index.n_docs if n_valid is None else n_valid)
     k_eff = min(top_k, index.n_docs_pad)
-    vals, idx = jax.lax.top_k(scores, k_eff)
+    vals, idx = topk_grouped(scores, k_eff)
     if k_eff < top_k:
         pad = top_k - k_eff
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -326,7 +327,7 @@ def _fused_topk_core(
     head = _head_scores_matmul(index, qids, qw)
     head = mask_invalid_docs(head, index.n_docs if n_valid is None else n_valid)
     k = min(top_k, index.n_docs_pad)
-    hv, hi = jax.lax.top_k(head, k)                            # (Q, k)
+    hv, hi = topk_grouped(head, k)                             # (Q, k)
 
     # full-vocab head (the waterfill budget split saturates small-vocab
     # languages, router.py): every term is a head row, the tail is empty —

@@ -1,0 +1,200 @@
+"""Vocab-axis tensor parallelism for the sparse full-head engine.
+
+SURVEY §2c's TP row: "shard the vocab axis of the CSR index … when |V|
+exceeds one chip's HBM" — the motivating case is the reference's en
+partition, whose bigram-inflated term_freqs needed 208 pickle shards just
+to fit Kaggle I/O (final_implementation.py:228).  At production settings
+tdr's en index is a FULL-VOCAB HEAD (the waterfill budget saturates it,
+tdr/rank/router.py), so its entire scoring engine is one (Q, D) x (D, N)
+matmul — and TP over the vocab axis is plain matmul tensor parallelism:
+
+* ``head_rows`` is split along the head-slot (D) axis over the mesh
+  "model" axis: each device holds (D/S, N) — 1/S of the index HBM, the
+  capacity win the strategy exists for;
+* each device scatters its slice of the query weights (terms whose slot
+  falls in its range) and computes a PARTIAL (Q, N) score matrix;
+* partials are summed with ``psum_scatter`` along the DOC axis — each
+  device ends with the fully-summed (Q, N/S) slice, so the full (Q, N)
+  matrix is never replicated (an all-reduce would move S× the bytes);
+* local top-k per doc slice (the same grouped top-k as the single-chip
+  path), then an ``all_gather`` of (Q, k) candidates + global merge —
+  identical to the doc-sharded merge (tdr/parallel/sharded.py).
+
+Tail-bearing indexes (languages whose head budget does NOT cover the
+vocab) stay on document-axis sharding: their per-term postings are short
+by construction (tail df < head threshold), so the vocab axis is never
+the capacity problem — the head is.  See ARCHITECTURE.md "Sparse tensor
+parallelism" for the measured byte comparison.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tdr.index.build import SparseIndex, _round_up
+from tdr.ops.score import NEG_INF
+from tdr.ops.topk import topk_grouped
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class VocabShardedIndex:
+    """Full-vocab-head index with the head-slot axis sharded for TP."""
+
+    head_rows: jnp.ndarray       # (S, D_loc, N_pad) — slot-axis shards
+    head_slot: jnp.ndarray       # (V,) int32, global slot ids (replicated)
+    n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_docs_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+    vocab_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+    d_local: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+
+def vocab_shard_index(index: SparseIndex, n_shards: int) -> VocabShardedIndex:
+    """Split a full-vocab-head SparseIndex along the head-slot axis.
+
+    Requires an empty tail (``head_size >= vocab_size``) — the production
+    configuration for the dominant language; pads D and N to multiples of
+    the shard count (padded slots score 0, padded docs are masked)."""
+    if index.head_size < index.vocab_size:
+        raise ValueError(
+            "vocab TP shards the full-vocab head engine; this index has a "
+            "tail (head_size < vocab_size) — use document sharding "
+            "(tdr.parallel.sharded) instead")
+    D, N = index.head_rows.shape
+    d_loc = _round_up(-(-D // n_shards), 8)
+    n_pad = _round_up(-(-N // n_shards), 128) * n_shards
+    rows = index.head_rows
+    if d_loc * n_shards != D or n_pad != N:
+        rows = jnp.pad(rows, ((0, d_loc * n_shards - D), (0, n_pad - N)))
+    return VocabShardedIndex(
+        head_rows=rows.reshape(n_shards, d_loc, n_pad),
+        head_slot=index.head_slot,
+        n_docs=index.n_docs,
+        n_docs_pad=n_pad,
+        vocab_size=index.vocab_size,
+        d_local=d_loc,
+        n_shards=n_shards,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "top_k", "axis"))
+def vocab_tp_score_topk(
+    mesh: Mesh,
+    vindex: VocabShardedIndex,
+    qids: jnp.ndarray,
+    qw: jnp.ndarray,
+    top_k: int = 10,
+    axis: str = "model",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score replicated queries against the vocab-sharded head.
+
+    Per device: partial matmul over its slot range → ``psum_scatter``
+    (doc axis) → masked local top-k → ``all_gather`` + global merge.
+    Returns (vals (Q, k), doc rows (Q, k)), replicated.
+    """
+    S = vindex.n_shards
+    N = vindex.n_docs_pad
+    n_loc = N // S
+    d_loc = vindex.d_local
+    Q, T = qids.shape
+    k_local = min(top_k, n_loc)
+
+    def local_fn(head_rows, head_slot, qids, qw):
+        rows = head_rows[0]                                # (d_loc, N)
+        me = jax.lax.axis_index(axis)
+        slot = head_slot[jnp.clip(qids, 0, vindex.vocab_size - 1)]
+        local_slot = slot - me * d_loc
+        active = (slot >= 0) & (qw > 0) & (local_slot >= 0) & (local_slot < d_loc)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0)
+        W = jnp.zeros((Q, d_loc), jnp.float32).at[
+            q_idx.reshape(-1),
+            jnp.where(active, local_slot, 0).reshape(-1),
+        ].add(jnp.where(active, qw, 0.0).reshape(-1))
+        W = W.astype(rows.dtype)                           # native MXU matmul
+        part = jnp.einsum("qd,dn->qn", W, rows,
+                          preferred_element_type=jnp.float32)  # (Q, N) partial
+        # sum partials AND shard the doc axis in one collective: each device
+        # ends with the fully-summed (Q, n_loc) slice of the score matrix
+        scores = jax.lax.psum_scatter(part, axis, scatter_dimension=1,
+                                      tiled=True)          # (Q, n_loc)
+        # mask padded/invalid docs in GLOBAL coordinates
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_loc), 1) + me * n_loc
+        scores = jnp.where(col < vindex.n_docs, scores, NEG_INF)
+        vals, rloc = topk_grouped(scores, k_local)
+        grows = jnp.where(jnp.isfinite(vals), rloc + me * n_loc, 0)
+        vals_g = jax.lax.all_gather(vals, axis)            # (S, Q, k)
+        rows_g = jax.lax.all_gather(grows, axis)
+        return vals_g, rows_g
+
+    vals_g, rows_g = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(vindex.head_rows, vindex.head_slot, qids, qw)
+
+    vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(Q, S * k_local)
+    rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(Q, S * k_local)
+    k_eff = min(top_k, S * k_local)
+    # exact lax.top_k tie order on the merged candidates: 2-key sort by
+    # (-val, global row) — shard-major concatenation is not row-ordered
+    negv, rsel = jax.lax.sort((-vals_m, rows_m), num_keys=2)
+    vals, rows = -negv[:, :k_eff], rsel[:, :k_eff]
+    if k_eff < top_k:
+        pad = top_k - k_eff
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return vals, rows
+
+
+@dataclass
+class VocabTpBM25Model:
+    """Router-compatible wrapper: the same ``topk_tokens`` surface as
+    ``SparseModel`` over a vocab-TP index (mixes into a ``LanguageRouter``
+    alongside single-chip and doc-sharded models)."""
+
+    vocab: object
+    vindex: VocabShardedIndex
+    docids: list
+    mesh: Mesh
+    lang: str = "en"
+    max_query_terms: int = 64
+
+    @classmethod
+    def from_model(cls, model, mesh: Mesh, axis: str = "model"):
+        n = mesh.shape[axis]
+        return cls(vocab=model.vocab,
+                   vindex=vocab_shard_index(model.index, n),
+                   docids=list(model.docids), mesh=mesh, lang=model.lang,
+                   max_query_terms=model.max_query_terms)
+
+    def encode_query_tokens(self, token_lists):
+        from tdr.text.vocab import encode_queries
+
+        qids, qw = encode_queries(token_lists, self.vocab, self.max_query_terms)
+        return jnp.asarray(qids), jnp.asarray(qw)
+
+    def topk_tokens(self, token_lists, k: int = 10, pad_to=None):
+        n = len(token_lists)
+        if pad_to is not None and n < pad_to:
+            token_lists = list(token_lists) + [[]] * (pad_to - n)
+        qids, qw = self.encode_query_tokens(token_lists)
+        vals, rows = vocab_tp_score_topk(self.mesh, self.vindex, qids, qw,
+                                         top_k=k)
+        return np.asarray(vals)[:n], np.asarray(rows)[:n]
+
+    def retrieve_tokens(self, token_lists, k: int = 10):
+        vals, rows = self.topk_tokens(token_lists, k, pad_to=len(token_lists))
+        return [
+            [self.docids[r] for r, v in zip(qr, qv) if np.isfinite(v)]
+            for qr, qv in zip(rows, vals)
+        ]

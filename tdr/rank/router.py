@@ -169,14 +169,33 @@ def _waterfill_head_budget(
     total_bytes: int, stats: Dict[str, Tuple[int, float]],
     floor_bytes: int = 64 << 20,
 ) -> Dict[str, int]:
-    """Split ``total_bytes`` of head budget: shares proportional to weight
-    (doc count), capped at each language's ``need`` (full-vocab coverage),
-    surplus re-poured over the still-hungry languages until spent.
+    """Split ``total_bytes`` of head budget: every language first gets
+    ``min(need, floor_bytes)`` (floors scale down together if even they
+    exceed the budget), then the remainder is waterfilled — shares
+    proportional to weight (doc count), capped at each language's ``need``
+    (full-vocab coverage), surplus re-poured over the still-hungry
+    languages until spent.
+
+    CONSERVES the budget: ``sum(allocs) <= total_bytes`` always (the
+    pre-fix applied the floor AFTER allocation, so many small languages
+    could overcommit HBM by up to n_langs * floor — the hole the split
+    exists to close).
 
     ``stats``: {lang: (need_bytes, weight)} → {lang: alloc_bytes}."""
-    alloc: Dict[str, int] = {}
-    hungry = dict(stats)
     budget = int(total_bytes)
+    # phase 0: reserve the floors out of the total (a floor never exceeds
+    # what the language can use)
+    base = {lang: min(need, floor_bytes) for lang, (need, _) in stats.items()}
+    base_sum = sum(base.values())
+    if budget <= 0:
+        return {lang: 0 for lang in stats}
+    if base_sum > budget:
+        scale = budget / base_sum
+        return {lang: int(b * scale) for lang, b in base.items()}
+    budget -= base_sum
+    alloc = dict(base)
+    hungry = {lang: (need - base[lang], w)
+              for lang, (need, w) in stats.items() if need > base[lang]}
     while hungry and budget > 0:
         wsum = sum(w for _, w in hungry.values())
         if wsum <= 0:
@@ -187,14 +206,12 @@ def _waterfill_head_budget(
         }
         if not saturated:
             for lang, (_, w) in hungry.items():
-                alloc[lang] = int(budget * w / wsum)
+                alloc[lang] += int(budget * w / wsum)
             break
         for lang, need in saturated.items():
-            alloc[lang] = need
+            alloc[lang] += need
             budget -= need
             del hungry[lang]
-    for lang in stats:
-        alloc[lang] = max(alloc.get(lang, 0), floor_bytes)
     return alloc
 
 

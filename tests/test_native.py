@@ -266,3 +266,19 @@ class TestNativeCorpusParser:
                 b'[{"docid": "a", "text": "\\ud800\\ud800"}]')
         with pytest.raises(ValueError):
             native.parse_corpus_json(b'[{"docid": "a", "text": "\\udc00"}]')
+
+    def test_raw_control_char_falls_back(self):
+        """json.load (the parity oracle) rejects raw control bytes inside
+        strings (ADVICE r2): the native path must too, so such records
+        route through the json.load fallback and both report malformed."""
+        import json as _json
+
+        from tdr import native
+
+        for bad in (b'[{"docid": "a", "text": "line\nbreak"}]',
+                    b'[{"docid": "a", "text": "tab\there"}]',
+                    b'[{"docid": "a", "text": "nul\x00byte"}]'):
+            with pytest.raises(ValueError):
+                native.parse_corpus_json(bad)
+            with pytest.raises(Exception):
+                _json.loads(bad)   # oracle agrees these are malformed
