@@ -108,3 +108,46 @@ def test_hard_eval_is_not_saturated():
     r = recall_at_k(res, queries.positive_docs, 10)
     # band, not a point: sensitive to ranking quality but not flaky
     assert 0.55 <= r <= 0.97, f"hard recall@10 = {r}"
+
+
+def test_hard_eval_per_language_bands():
+    """Per-language recall gates (VERDICT r2 #8: the global band can hide a
+    language-specific regression, e.g. a broken ko tokenizer or a stemmer
+    change nuking one latin language).
+
+    Equal language proportions so every language gets ~100 queries — at the
+    reference proportions the non-en partitions draw 5-16 queries each and
+    per-language assertions would be pure noise.  Measured at the time of
+    writing (seed 42): ar .720  de .781  en .800  es .788  fr .745  it .759
+    ko .832, overall .773; binomial sigma at n~100 is ~.045, so a .60 floor
+    sits ~3 sigma below the weakest language.
+
+    The residual spread itself is diagnosed in ARCHITECTURE.md ("hard-eval
+    per-language spread"): it tracks stemmer aggressiveness under the hard
+    mode's typo corruption — aggressive stemmers (it/es/fr merge 10-20% of
+    the random-syllable vocab) suffer signature-term collisions, while
+    conservative ones (de/en: <0.3%) lose typo'd terms outright; ar/ko skip
+    stemming and sit wherever their script's typo char lands.  At reference
+    proportions the per-language numbers in BENCH artifacts additionally
+    carry +-0.10 of binomial noise (n~60-90/language)."""
+    import numpy as np
+
+    from tdr.rank import LanguageRouter, build_language_models
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=2800, n_queries=700, seed=42, hard=True,
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 22))
+    res = LanguageRouter(models, query_batch=128).retrieve(
+        queries.queries, queries.langs, k=10)
+    hits = [p in r for r, p in zip(res, queries.positive_docs)]
+    per = {}
+    for h, lang in zip(hits, queries.langs):
+        per.setdefault(lang, []).append(h)
+    recalls = {lang: float(np.mean(v)) for lang, v in per.items()}
+    assert set(recalls) == {"ar", "de", "en", "es", "fr", "it", "ko"}
+    for lang, r in sorted(recalls.items()):
+        assert r >= 0.60, f"{lang} recall@10 = {r:.3f} (n={len(per[lang])})"
+    overall = float(np.mean(hits))
+    assert 0.70 <= overall <= 0.92, f"overall hard recall@10 = {overall:.3f}"
