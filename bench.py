@@ -123,10 +123,23 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
     }
 
 
-def _cascade_bench(n_docs: int = 5000, n_queries: int = 500) -> dict:
-    """Cascade throughput at moderate scale (VERDICT r1 #5 'cascade qps in
-    bench output'): the pipelined cosine→BM25 cascade and the sentence-BM25→
-    dense-LM cascade with corpus-wide precomputed sentence embeddings."""
+def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
+                   sent_docs: int = 100_000, sent_queries: int = 500) -> dict:
+    """Cascade benchmarks at REFERENCE scale (VERDICT r2 #4: the r2 numbers
+    were 5k-doc toys).
+
+    * cosine→BM25 cascade over the en partition at its full reference size
+      (207,363 docs — the reference scores candidates over the whole corpus,
+      cosine_similarity_bm25_reranking.py:198-238; tdr's cascade is
+      language-routed by design, so the dominant partition is the scale
+      unit).  Candidates come from the entire partition.
+    * sentence-BM25 → dense-LM cascade at >=100k docs / >=500k sentences
+      (the reference builds its sentence index over the whole corpus with a
+      process pool, team_run1.py:80-124): reports sentence-index build time,
+      the one-time corpus-wide embedding pass, and end-to-end qps + recall.
+
+    Scale via TDR_BENCH_CASCADE_DOCS / TDR_BENCH_SENT_DOCS (set small for
+    smoke runs)."""
     import time
 
     import jax
@@ -138,21 +151,46 @@ def _cascade_bench(n_docs: int = 5000, n_queries: int = 500) -> dict:
     from tdr.rank import CascadeRetriever, SentenceBM25, SentenceLmCascade
     from tdr.train import train_dense_retriever
     from tdr.utils.config import DenseConfig, IndexConfig
+    from tdr.utils.trace import log
 
-    cfg = IndexConfig(head_budget_bytes=1 << 26)
+    n_docs = int(os.environ.get("TDR_BENCH_CASCADE_DOCS", n_docs))
+    sent_docs = int(os.environ.get("TDR_BENCH_SENT_DOCS", sent_docs))
+
+    # ~1 GiB head budget per stage index: en's unigram vocab saturates to a
+    # mostly-head index at this size while the two stages + the headline
+    # models fit HBM together
+    cfg = IndexConfig(head_budget_bytes=1 << 30)
     corpus, queries = synthetic_corpus(
         SyntheticSpec(n_docs=n_docs, n_queries=n_queries, seed=7, hard=True,
                       ref_proportions=False, langs=("en",)))
-    from tdr.text import Preprocessor
 
-    pp = Preprocessor("best")
-    toks = [pp(t, "en") for t in corpus.texts]
+    # ONE fast-encode pass feeds both stage indexes (identical tokenization)
+    from tdr.text.fast import fast_available, fast_encode_corpus
 
-    cand = TfidfCosineModel.build(toks, corpus.docids, lang="en", index_cfg=cfg)
-    rank = BM25Model.build(toks, corpus.docids, lang="en", index_cfg=cfg)
+    t0 = time.perf_counter()
+    if fast_available():
+        vocab, *coo = fast_encode_corpus(
+            corpus.texts, ["en"] * len(corpus.texts))
+        coo = tuple(coo)
+        cand = TfidfCosineModel.from_coo(vocab, coo, corpus.docids,
+                                         lang="en", index_cfg=cfg)
+        rank = BM25Model.from_coo(vocab, coo, corpus.docids,
+                                  lang="en", index_cfg=cfg)
+    else:
+        from tdr.text import Preprocessor
+
+        pp = Preprocessor("best")
+        toks = [pp(t, "en") for t in corpus.texts]
+        cand = TfidfCosineModel.build(toks, corpus.docids, lang="en",
+                                      index_cfg=cfg)
+        rank = BM25Model.build(toks, corpus.docids, lang="en", index_cfg=cfg)
+    build_s = time.perf_counter() - t0
+    log.info("cascade stage indexes built: %.1fs at %d docs", build_s, n_docs)
+
     cas = CascadeRetriever({"en": cand}, {"en": rank}, candidates=200,
                            query_batch=256)
     cas.retrieve(queries.queries[:1], ["en"], k=10)  # warm
+    cas.retrieve(queries.queries, queries.langs, k=10)  # full-shape warm
     t0 = time.perf_counter()
     res = cas.retrieve(queries.queries, queries.langs, k=10)
     jax.block_until_ready(jax.numpy.zeros(()))
@@ -161,31 +199,45 @@ def _cascade_bench(n_docs: int = 5000, n_queries: int = 500) -> dict:
         "cosine_bm25_cascade_qps": round(n_queries / dt, 1),
         "cosine_bm25_cascade_recall_at_10": round(
             recall_at_k(res, queries.positive_docs, 10), 4),
+        "cascade_build_sec": round(build_s, 1),
+        "cascade_n_docs": n_docs,
+        "cascade_n_queries": n_queries,
     }
+    del cas, cand, rank, coo, res    # release stage indexes before sentences
 
-    # sentence-LM cascade: small trained encoder, precomputed embeddings
+    # sentence-LM cascade at >=500k sentences: small trained encoder,
+    # corpus-wide precomputed embeddings
+    corpus2, queries2 = synthetic_corpus(
+        SyntheticSpec(n_docs=sent_docs, n_queries=sent_queries, seed=7,
+                      hard=True, ref_proportions=False, langs=("en",),
+                      sentences_per_doc=6))
     dcfg = DenseConfig(vocab_size=4000, dim=64, depth=2, heads=4, max_len=32)
     model, state, _ = train_dense_retriever(
-        corpus, queries, dcfg, epochs=3, batch_size=50, n_neg=1, lr=1e-3)
+        corpus2, queries2, dcfg, epochs=3, batch_size=50, n_neg=1, lr=1e-3)
     dense = DenseModel.build(model, state.params, dcfg,
-                             corpus.texts[:1], corpus.docids[:1], batch=32)
-    sb = SentenceBM25.build(corpus.docids, corpus.texts, "en", index_cfg=cfg)
+                             corpus2.texts[:1], corpus2.docids[:1], batch=32)
+    t0 = time.perf_counter()
+    sb = SentenceBM25.build(corpus2.docids, corpus2.texts, "en", index_cfg=cfg)
+    sent_build_s = time.perf_counter() - t0
+    log.info("sentence index built: %.1fs, %d sentences", sent_build_s,
+             len(sb.texts))
     lm = SentenceLmCascade({"en": sb}, dense, bm25_candidates=100)
     t0 = time.perf_counter()
     sb.precompute_embeddings(dense)          # one-time corpus embedding pass
     embed_s = time.perf_counter() - t0
-    lm.retrieve(queries.queries[:1], ["en"], k=10)  # warm
+    lm.retrieve(queries2.queries[:1], ["en"], k=10)  # warm
     t0 = time.perf_counter()
-    res2 = lm.retrieve(queries.queries, queries.langs, k=10)
+    res2 = lm.retrieve(queries2.queries, queries2.langs, k=10)
     dt2 = time.perf_counter() - t0
     out.update({
-        "sentence_lm_cascade_qps": round(n_queries / dt2, 1),
+        "sentence_lm_cascade_qps": round(sent_queries / dt2, 1),
         "sentence_lm_cascade_recall_at_10": round(
-            recall_at_k(res2, queries.positive_docs, 10), 4),
+            recall_at_k(res2, queries2.positive_docs, 10), 4),
+        "sentence_index_build_sec": round(sent_build_s, 1),
         "sentence_embed_once_sec": round(embed_s, 1),
         "n_sentences": len(sb.texts),
-        "cascade_n_docs": n_docs,
-        "cascade_n_queries": n_queries,
+        "sentence_n_docs": sent_docs,
+        "sentence_n_queries": sent_queries,
     })
     return out
 
@@ -296,6 +348,12 @@ def main() -> None:
     enable_jax_cache()
     import jax
 
+    # The environment's sitecustomize registers the axon TPU plugin and
+    # overrides the JAX_PLATFORMS env var; re-assert it so smoke runs
+    # (JAX_PLATFORMS=cpu python bench.py) actually stay off the TPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from tdr.data import synthetic_corpus, SyntheticSpec
     from tdr.models import BM25Model
     from tdr.rank import LanguageRouter, build_language_models
@@ -377,6 +435,9 @@ def main() -> None:
 
     cascade = {}
     if os.environ.get("TDR_BENCH_CASCADE", "1") == "1":
+        # the cascade section builds full-partition-scale stage indexes;
+        # release the headline models' HBM first
+        del router, models
         cascade = _cascade_bench()
         log.info("cascade bench: %s", cascade)
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tdr.models.encoder import DualEncoder, encode
-from tdr.ops.topk import topk_grouped
+from tdr.ops.topk import fast_topk
 from tdr.text.hash_tokenizer import encode_batch
 from tdr.utils.config import DenseConfig
 
@@ -75,7 +75,7 @@ def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10):
     doc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(doc_iota < index.n_docs, scores, NEG_INF)
     k = min(top_k, scores.shape[1])
-    vals, rows = topk_grouped(scores, k)
+    vals, rows = fast_topk(scores, k)
     if k < top_k:
         vals = jnp.pad(vals, ((0, 0), (0, top_k - k)), constant_values=-jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, top_k - k)))
@@ -185,6 +185,56 @@ def ivf_search(index: IvfIndex, q: jnp.ndarray, top_k: int = 10, nprobe: int = 8
     return vals, rows
 
 
+def _encode_texts(
+    model, params, cfg, texts: Sequence[str], batch: int = 256,
+    pull_group: int = 64,
+) -> np.ndarray:
+    """Batched encoder forward over a text list with GROUPED device→host
+    pulls.
+
+    The per-batch ``np.asarray`` sync costs a full backend round trip
+    (30-50 ms on remote-tunnel backends, CLAUDE.md measurement rules) — at
+    corpus scale (e.g. the 600k-sentence embedding pass of the sentence
+    cascade, team_run1.py:225-239 semantics) per-batch pulling spends
+    minutes on RPCs alone.  Here every batch is dispatched asynchronously
+    and full batches are pulled ``pull_group`` at a time through one
+    device-side concatenate (one transfer per group, ~batch·group rows)."""
+    if not texts:
+        return np.zeros((0, cfg.dim), np.float32)
+    full: list = []          # dispatched (batch, D) device arrays
+    outs: List[np.ndarray] = []
+
+    def _flush():
+        if not full:
+            return
+        if len(full) == 1:
+            outs.append(np.asarray(full[0]))
+        else:
+            outs.append(np.asarray(jnp.concatenate(full, axis=0)))
+        full.clear()
+
+    tail: List[np.ndarray] = []
+    n_texts = len(texts)
+    for s in range(0, n_texts, batch):
+        chunk = list(texts[s:s + batch])
+        n = len(chunk)
+        target = _pad_target(n, batch)
+        if n < target:
+            chunk += [""] * (target - n)
+        ids, mask = encode_batch(chunk, cfg.vocab_size, cfg.max_len)
+        e = encode(model, params, jnp.asarray(ids), jnp.asarray(mask))
+        if n == target:
+            full.append(e)
+            if len(full) >= pull_group:
+                _flush()
+        else:
+            # ragged tail (different padded shape): pull separately
+            tail.append(np.asarray(e)[:n])
+    _flush()
+    outs.extend(tail)
+    return np.concatenate(outs, axis=0)[:n_texts]
+
+
 # --------------------------------------------------------------------------
 # Dense retrieval model (encoder + index + docids)
 # --------------------------------------------------------------------------
@@ -207,17 +257,7 @@ class DenseModel:
         texts: Sequence[str], docids: Sequence[str],
         batch: int = 256, with_ivf: bool = False,
     ) -> "DenseModel":
-        embs = []
-        for s in range(0, len(texts), batch):
-            chunk = list(texts[s:s + batch])
-            n = len(chunk)
-            target = _pad_target(n, batch)
-            if n < target:
-                chunk += [""] * (target - n)
-            ids, mask = encode_batch(chunk, cfg.vocab_size, cfg.max_len)
-            e = encode(model, params, jnp.asarray(ids), jnp.asarray(mask))
-            embs.append(np.asarray(e)[:n])
-        emb = np.concatenate(embs, axis=0) if embs else np.zeros((0, cfg.dim), np.float32)
+        emb = _encode_texts(model, params, cfg, texts, batch)
         out = cls(model=model, params=params, cfg=cfg, docids=list(docids),
                   flat=build_flat_index(emb))
         if with_ivf:
@@ -225,19 +265,7 @@ class DenseModel:
         return out
 
     def encode_queries(self, texts: Sequence[str], batch: int = 256) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self.cfg.dim), np.float32)
-        embs = []
-        for s in range(0, len(texts), batch):
-            chunk = list(texts[s:s + batch])
-            n = len(chunk)
-            target = _pad_target(n, batch)
-            if n < target:
-                chunk += [""] * (target - n)
-            ids, mask = encode_batch(chunk, self.cfg.vocab_size, self.cfg.max_len)
-            e = encode(self.model, self.params, jnp.asarray(ids), jnp.asarray(mask))
-            embs.append(np.asarray(e)[:n])
-        return np.concatenate(embs, axis=0)
+        return _encode_texts(self.model, self.params, self.cfg, texts, batch)
 
     def retrieve(
         self, queries: Sequence[str], k: int = 10, use_ivf: bool = False,

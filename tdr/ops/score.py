@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from tdr.index.build import SparseIndex
-from tdr.ops.topk import topk_grouped
+from tdr.ops.topk import fast_topk
 
 NEG_INF = jnp.float32(-jnp.inf)
 # query language code that matches every document (unknown-language queries
@@ -218,7 +218,7 @@ def topk_language_filtered(
     (plain top-k) — used when the query's language is unknown."""
     q = query_langs[:, None]
     mask = (doc_langs[None, :] == q) | (q == WILDCARD_LANG)
-    return topk_grouped(jnp.where(mask, scores, NEG_INF), top_k)
+    return fast_topk(jnp.where(mask, scores, NEG_INF), top_k)
 
 
 def _scatter_topk(
@@ -228,7 +228,7 @@ def _scatter_topk(
     scores = mask_invalid_docs(score_batch_raw(index, qids, qw),
                                index.n_docs if n_valid is None else n_valid)
     k_eff = min(top_k, index.n_docs_pad)
-    vals, idx = topk_grouped(scores, k_eff)
+    vals, idx = fast_topk(scores, k_eff)
     if k_eff < top_k:
         pad = top_k - k_eff
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -327,7 +327,7 @@ def _fused_topk_core(
     head = _head_scores_matmul(index, qids, qw)
     head = mask_invalid_docs(head, index.n_docs if n_valid is None else n_valid)
     k = min(top_k, index.n_docs_pad)
-    hv, hi = topk_grouped(head, k)                             # (Q, k)
+    hv, hi = fast_topk(head, k)                             # (Q, k)
 
     # full-vocab head (the waterfill budget split saturates small-vocab
     # languages, router.py): every term is a head row, the tail is empty —

@@ -1,38 +1,29 @@
-"""Fast exact top-k over a long document axis.
+"""Top-k over a long document axis: measured engine selection.
 
-``jax.lax.top_k`` over a (Q, N~262k) f32 score matrix sorts full rows —
-measured ~8 ms per 256-query batch on TPU v5e, which dominated BOTH the
-sparse full-head scoring pass (11.8 ms total) and the dense flat search
-(8.5 ms total) in round 2 (VERDICT r2 #1b/#3).  The reference's equivalent
-is ``np.argpartition`` (bm25_ranking.ipynb:206-213) / ``torch.topk``
-(document_ranking_with_bm25.py:235) — partial selection, not a full sort.
+``jax.lax.top_k`` on TPU lowers to a partial-selection custom call, NOT a
+full-row sort.  Round 3 measured it directly against a grouped two-phase
+selection (group-max → top-k groups → gather + rescan) on the production
+shapes, with the only timing methodology that survives this environment's
+dispatch memoization and early-acking ``block_until_ready`` (256 distinct
+back-to-back dispatches, device-generated inputs, one sync):
 
-``topk_grouped`` is the TPU-shaped partial selection:
+    (256, 262144) f32, k=10, fused after a (256,256)x(256,262144) matmul,
+    TPU v5e:   matmul + lax.top_k      3.35 ms/call
+               matmul + topk_grouped   9.17 ms/call
 
-1. **group-reduce**: view the row as ``ng = N/G`` groups of ``G`` lanes and
-   take each group's max — one streaming VPU pass, output (Q, ng);
-2. **select groups**: ``lax.top_k`` over the (Q, ng) group maxes — a sort
-   over N/G elements instead of N;
-3. **gather + rescan**: gather the k winning groups' G columns each
-   ((Q, k·G) candidates) and take the exact top-k there.
+The grouped pass loses ~3x: its (Q, k·128) ``take_along_axis`` gather and
+2-key rescan sort cost far more than XLA's native TopK saves.  (An earlier
+scan-stacked microbenchmark suggested the opposite — 8.3 ms vs 0.9 ms —
+but that was an artifact of measuring inside ``lax.scan`` on stacked
+inputs; the end-to-end wall clock contradicts it, and the end-to-end
+number is the one the CLAUDE.md measurement rules trust.)
 
-EXACTNESS (including ``lax.top_k``'s value-desc/index-asc tie order): let e
-be any element outside the k selected groups.  Group selection is lexical
-by (max desc, group-id asc), so there are k groups each of which beats e's
-group.  Each such group's max either (a) exceeds e's value, or (b) equals
-it with a smaller group id — and a smaller group id means every element of
-that group has a smaller global index than e.  Either way that max outranks
-e under (value desc, index asc); k distinct elements outrank e, so e is not
-in the true top-k.  Hence the selected groups contain the entire true top-k
-and an exact (value desc, index asc) selection among their columns
-reproduces ``lax.top_k`` bit-for-bit.  (Only edge: a -0.0 score sorts as
-equal-to-0.0 here but below it under lax.sort's total order; retrieval
-scores are sums of non-negative weights or -inf masks, which never produce
--0.0.)
-
-Measured (TPU v5e, (256, 262144) f32, k=10): lax.top_k 8.3 ms →
-topk_grouped ~0.9 ms; the fused matmul+top-k dense search drops from
-8.5 ms to ~1.3 ms per batch.
+``fast_topk`` is therefore ``lax.top_k`` today, kept as the single
+indirection point so the choice is re-measurable per hardware generation.
+``topk_grouped`` stays available (exactness-tested) for stacks where the
+native TopK is weak.  The reference's equivalents are ``np.argpartition``
+(bm25_ranking.ipynb:206-213) and ``torch.topk``
+(document_ranking_with_bm25.py:235).
 """
 
 from __future__ import annotations
@@ -44,17 +35,42 @@ import jax
 import jax.numpy as jnp
 
 
+def fast_topk(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k along the last axis — the measured-fastest engine for the
+    current hardware (see module docstring for the A/B)."""
+    return jax.lax.top_k(scores, k)
+
+
 @partial(jax.jit, static_argnames=("k", "group"))
 def topk_grouped(
     scores: jnp.ndarray, k: int, group: int = 128
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k along the last axis of a 2-D score matrix.
+    """Exact grouped top-k along the last axis of a 2-D score matrix —
+    bit-identical to ``jax.lax.top_k(scores, k)``; OFF the hot paths on
+    v5e (measured 3x slower fused, module docstring).
 
-    Bit-identical to ``jax.lax.top_k(scores, k)`` (see module docstring for
-    the proof); falls back to it outright when the shape gives the grouped
-    pass no advantage (short rows, k·group ≥ N, or N not group-aligned —
-    index doc axes are padded to 128 multiples, so the fast path is the
-    norm).
+    1. group-reduce: view the row as ``ng = N/G`` groups of ``G`` lanes and
+       take each group's max — one streaming VPU pass, output (Q, ng);
+    2. select groups: ``lax.top_k`` over the (Q, ng) group maxes;
+    3. gather + rescan: gather the k winning groups' G columns each
+       ((Q, k·G) candidates) and take the exact top-k there.
+
+    EXACTNESS (including ``lax.top_k``'s value-desc/index-asc tie order):
+    let e be any element outside the k selected groups.  Group selection is
+    lexical by (max desc, group-id asc), so there are k groups each of
+    which beats e's group.  Each such group's max either (a) exceeds e's
+    value, or (b) equals it with a smaller group id — and a smaller group
+    id means every element of that group has a smaller global index than e.
+    Either way that max outranks e under (value desc, index asc); k
+    distinct elements outrank e, so e is not in the true top-k.  Hence the
+    selected groups contain the entire true top-k and an exact (value desc,
+    index asc) selection among their columns reproduces ``lax.top_k``
+    bit-for-bit.  (Only edge: a -0.0 score sorts as equal-to-0.0 here but
+    below it under lax.sort's total order; retrieval scores are sums of
+    non-negative weights or -inf masks, which never produce -0.0.)
+
+    Falls back to ``lax.top_k`` outright when the shape gives the grouped
+    pass no advantage (short rows, k·group >= N, or N not group-aligned).
     """
     Q, N = scores.shape
     ng = N // group

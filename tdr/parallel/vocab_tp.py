@@ -41,7 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tdr.index.build import SparseIndex, _round_up
 from tdr.ops.score import NEG_INF
-from tdr.ops.topk import topk_grouped
+from tdr.ops.topk import fast_topk
 
 
 @jax.tree_util.register_dataclass
@@ -129,7 +129,7 @@ def vocab_tp_score_topk(
         # mask padded/invalid docs in GLOBAL coordinates
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_loc), 1) + me * n_loc
         scores = jnp.where(col < vindex.n_docs, scores, NEG_INF)
-        vals, rloc = topk_grouped(scores, k_local)
+        vals, rloc = fast_topk(scores, k_local)
         grows = jnp.where(jnp.isfinite(vals), rloc + me * n_loc, 0)
         vals_g = jax.lax.all_gather(vals, axis)            # (S, Q, k)
         rows_g = jax.lax.all_gather(grows, axis)

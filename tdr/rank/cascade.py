@@ -110,17 +110,39 @@ class CascadeRetriever:
             groups.setdefault(key, []).append(i)
         return groups
 
+    def _tokenize(self, queries: Sequence[str], q_idx: Sequence[int],
+                  lang: str) -> List[List[str]]:
+        """Native batch tokenization for the default pipeline (same policy
+        as LanguageRouter._tokenize — query preprocessing dominated the
+        cascade wall clock at full-corpus scale on the Python path)."""
+        if self.preprocessor.spec.name == "best":
+            from tdr.text.fast import fast_available
+
+            if fast_available():
+                from tdr.text.fast import fast_tokenize_texts
+
+                return fast_tokenize_texts([queries[i] for i in q_idx], lang)
+        return [self.preprocessor(queries[i], lang) for i in q_idx]
+
     def retrieve(
         self, queries: Sequence[str], langs: Sequence[str], k: int = 10
     ) -> List[List[str]]:
+        from tdr.rank.router import _gather_pending
+
         results: List[Optional[List[str]]] = [None] * len(queries)
+        # phase 1: dispatch every batch asynchronously (host tokenization of
+        # later chunks overlaps device scoring of earlier ones); phase 2:
+        # pull ALL batch results in one packed device→host transfer —
+        # per-batch np.asarray syncs are full RPC round trips on remote
+        # backends (same dispatch economics as LanguageRouter)
+        pending = []   # (rank_model, sel, vals_dev, rows_dev, n_chunk)
         for lang, q_idx in self._group(langs).items():
             cand_m = self.candidate_models[lang]
             rank_m = self.rerank_models[lang]
             assert cand_m.docids == rank_m.docids, (
                 "cascade stages must index the same doc partition"
             )
-            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            toks = self._tokenize(queries, q_idx, lang)
             pipelined = hasattr(cand_m, "index") and hasattr(rank_m, "index")
             n_docs = (cand_m.index.n_docs if hasattr(cand_m, "index")
                       else cand_m.sindex.n_docs)
@@ -141,11 +163,7 @@ class CascadeRetriever:
                         tail_budget=getattr(cand_m, "tail_budget", 1024),
                         cand_engine=_engine_of(cand_m),
                         rank_engine=_engine_of(rank_m))
-                    vals = np.asarray(vals)[:n_chunk]
-                    rows = np.asarray(rows)[:n_chunk]
-                    for j, (rr, vv) in zip(sel, zip(rows, vals)):
-                        results[j] = [rank_m.docids[r]
-                                      for r, v in zip(rr, vv) if np.isfinite(v)]
+                    pending.append((rank_m, sel, vals, rows, n_chunk))
                     continue
                 # fallback (e.g. sharded stage-1 model): two dispatches
                 _, cand_rows = cand_m.topk_tokens(chunk, C)
@@ -154,4 +172,19 @@ class CascadeRetriever:
                 order = np.argsort(-re_scores, axis=1, kind="stable")[:, :k]
                 for j, (rows, o) in zip(sel, zip(cand_rows, order)):
                     results[j] = [rank_m.docids[rows[c]] for c in o]
+        # one packed gather per distinct (B, k) result shape (a partition
+        # smaller than k yields a narrower top-k and cannot stack with the
+        # rest)
+        by_shape: Dict[tuple, List[int]] = {}
+        for i, p in enumerate(pending):
+            by_shape.setdefault(tuple(p[2].shape), []).append(i)
+        for idxs in by_shape.values():
+            vals_all, rows_all = _gather_pending(
+                [pending[i][2] for i in idxs], [pending[i][3] for i in idxs])
+            for g, i in enumerate(idxs):
+                rank_m, sel, _, _, n = pending[i]
+                for j, (rr, vv) in zip(sel, zip(rows_all[g][:n],
+                                                vals_all[g][:n])):
+                    results[j] = [rank_m.docids[r]
+                                  for r, v in zip(rr, vv) if np.isfinite(v)]
         return [r if r is not None else [] for r in results]

@@ -90,10 +90,27 @@ class SentenceBM25:
         preprocessor: Optional[Preprocessor] = None,
         bm25: BM25Config = BM25Config(dl_scaled_by_b=True, idf_variant="bm25_plus1"),
         index_cfg: IndexConfig = IndexConfig(),
+        fast: Optional[bool] = None,
     ) -> "SentenceBM25":
         # the sentence pipeline uses the textbook b-scaled denominator and
         # +1-smoothed idf (team_run1.py:187-193)
         sids, stexts = explode_corpus(docids, texts)
+        # At corpus scale the exploded sentence set is large (268k docs →
+        # ~1M+ sentences, team_run1.py:80-124 fans a process pool at this
+        # point); the C++ tokenizer + vectorized encoding path covers it in
+        # one native pass, same as the document-level builds (router.py).
+        if fast is None:
+            from tdr.text.fast import fast_available
+
+            fast = preprocessor is None and fast_available()
+        if fast:
+            from tdr.text.fast import fast_encode_corpus
+
+            vocab, *coo = fast_encode_corpus(
+                stexts, [lang] * len(stexts), min_df=index_cfg.min_df)
+            model = BM25Model.from_coo(vocab, tuple(coo), sids, lang=lang,
+                                       bm25=bm25, index_cfg=index_cfg)
+            return cls(model, stexts)
         pp = preprocessor or Preprocessor("best")
         toks = [pp(s, lang) for s in stexts]
         return cls(BM25Model.build(toks, sids, lang=lang, bm25=bm25,
@@ -177,7 +194,16 @@ class SentenceLmCascade:
             # corpus-wide sentence embeddings, computed ONCE (reference
             # semantics, team_run1.py:225-239) — no per-query encoder calls
             smodel.precompute_embeddings(self.dense)
-            toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            if self.preprocessor.spec.name == "best":
+                from tdr.text.fast import fast_available, fast_tokenize_texts
+
+                if fast_available():
+                    toks = fast_tokenize_texts(
+                        [queries[i] for i in q_idx], lang)
+                else:
+                    toks = [self.preprocessor(queries[i], lang) for i in q_idx]
+            else:
+                toks = [self.preprocessor(queries[i], lang) for i in q_idx]
             vals, rows = smodel.model.topk_tokens(toks, self.bm25_candidates)
             valid = np.isfinite(np.asarray(vals))                # (G, M)
             rows_c = np.clip(np.asarray(rows), 0, len(smodel.texts) - 1)
