@@ -55,41 +55,83 @@ def _pad_target(n: int, batch: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclass
 class FlatIndex:
-    """Exact inner-product search (IndexFlatIP equivalent)."""
+    """Exact flat search: inner product (IndexFlatIP) or unnormalized
+    squared-L2 (IndexFlatL2, corpus_processing_and_embedding.py:204-208).
 
-    embeddings: jnp.ndarray       # (N_pad, D) float32/bf16, L2-normalized
+    For the L2 metric the doc squared norms are precomputed once at build;
+    search ranks by ``2·q·d − ‖d‖²`` (equal ordering to −‖q−d‖², the ‖q‖²
+    term is constant per query) so the hot loop stays one MXU matmul."""
+
+    embeddings: jnp.ndarray       # (N_pad, D) float32/bf16
+    doc_sq: Optional[jnp.ndarray] = None   # (N_pad,) f32 ‖d‖² (L2 metric)
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
+    metric: str = dataclasses.field(metadata=dict(static=True), default="ip")
 
 
-@partial(jax.jit, static_argnames=("top_k",))
-def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10):
+@partial(jax.jit, static_argnames=("top_k", "approx", "recall_target"))
+def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
+                approx: bool = False, recall_target: float = 0.95):
     """(Q, D) queries → (vals, rows): one MXU matmul + top_k.
 
     The doc matrix is stored bf16 (build_flat_index) so no per-batch N·D
     cast runs and the resident index is half the HBM (the batch timing is
-    dominated by top_k + dispatch, so the win is memory, not latency)."""
-    scores = jnp.dot(
+    dominated by top_k + dispatch, so the win is memory, not latency).
+
+    Metric "ip": vals are inner products, descending.  Metric "l2": vals
+    are NEGATED squared L2 distances (descending, i.e. nearest first) over
+    the raw, unnormalized embeddings — ``faiss.IndexFlatL2.search``
+    returns the same ranking with vals negated.
+
+    ``approx=True`` swaps the exact top-k for ``jax.lax.approx_max_k``
+    (the TPU PartialReduce custom call) at the given per-query
+    ``recall_target`` — the brute-force analogue of FAISS's approximate
+    modes: the matmul still scores every document, only the selection is
+    approximate.  On non-TPU backends it falls back to exact."""
+    dots = jnp.dot(
         q.astype(index.embeddings.dtype), index.embeddings.T,
         preferred_element_type=jnp.float32,
     )
+    if index.metric == "l2":
+        # rank by 2qd − ‖d‖²; add the per-query −‖q‖² afterwards so the
+        # returned vals are true −‖q−d‖²
+        scores = 2.0 * dots - index.doc_sq[None, :]
+    else:
+        scores = dots
     doc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(doc_iota < index.n_docs, scores, NEG_INF)
     k = min(top_k, scores.shape[1])
-    vals, rows = fast_topk(scores, k)
+    if approx:
+        vals, rows = jax.lax.approx_max_k(scores, k,
+                                          recall_target=recall_target)
+    else:
+        vals, rows = fast_topk(scores, k)
+    if index.metric == "l2":
+        q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        vals = jnp.where(jnp.isfinite(vals), vals - q_sq, vals)
     if k < top_k:
         vals = jnp.pad(vals, ((0, 0), (0, top_k - k)), constant_values=-jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, top_k - k)))
     return vals, rows
 
 
-def build_flat_index(embeddings: np.ndarray, pad_multiple: int = 128) -> FlatIndex:
+def build_flat_index(embeddings: np.ndarray, pad_multiple: int = 128,
+                     metric: str = "ip") -> FlatIndex:
+    assert metric in ("ip", "l2"), metric
     n, d = embeddings.shape
     n_pad = max(_round_up(max(n, 1), pad_multiple), pad_multiple)
     e = np.zeros((n_pad, d), np.float32)
     e[:n] = embeddings
     # bf16 resident matrix: the search matmul runs in bf16 anyway; storing
     # f32 doubled the HBM read AND paid an N·D cast per batch
-    return FlatIndex(embeddings=jnp.asarray(e).astype(jnp.bfloat16), n_docs=n)
+    doc_sq = None
+    if metric == "l2":
+        # ‖d‖² in f64 then f32: padding rows get +inf so they can never
+        # win the 2qd − ‖d‖² ranking even before the n_docs mask
+        sq = np.full(n_pad, np.inf, np.float32)
+        sq[:n] = (embeddings.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        doc_sq = jnp.asarray(sq)
+    return FlatIndex(embeddings=jnp.asarray(e).astype(jnp.bfloat16),
+                     doc_sq=doc_sq, n_docs=n, metric=metric)
 
 
 # --------------------------------------------------------------------------

@@ -81,6 +81,76 @@ class TestFlatSearch:
         assert np.asarray(rows).max() < 10
 
 
+class TestFlatL2:
+    """Unnormalized-L2 flat search (IndexFlatL2 surface, VERDICT r2 missing
+    #4; reference: corpus_processing_and_embedding.py:204-208 searches raw
+    BERT embeddings by L2 distance)."""
+
+    def test_matches_numpy_bruteforce(self):
+        rng = np.random.RandomState(1)
+        # UNNORMALIZED, varied magnitudes — ip and l2 rankings must differ
+        emb = (rng.randn(200, 24) * rng.uniform(0.2, 5.0, (200, 1))).astype(
+            np.float32)
+        q = (rng.randn(7, 24) * 2.0).astype(np.float32)
+        index = build_flat_index(emb, pad_multiple=64, metric="l2")
+        vals, rows = flat_search(index, jnp.asarray(q), top_k=5)
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        # bf16 doc matrix: compare against the bf16-rounded oracle
+        emb_bf = jnp.asarray(emb).astype(jnp.bfloat16).astype(jnp.float32)
+        d2 = ((np.asarray(emb_bf)[None] - q[:, None].astype(np.float32))
+              ** 2).sum(-1)
+        for i in range(7):
+            order = np.argsort(d2[i], kind="stable")[:5]
+            assert set(rows[i]) == set(order), f"query {i}"
+            np.testing.assert_allclose(-vals[i], np.sort(d2[i])[:5],
+                                       rtol=5e-2, atol=5e-2)
+
+    def test_l2_differs_from_ip_on_unnormalized(self):
+        rng = np.random.RandomState(2)
+        emb = (rng.randn(50, 8) * rng.uniform(0.1, 10.0, (50, 1))).astype(
+            np.float32)
+        q = rng.randn(3, 8).astype(np.float32)
+        ip = build_flat_index(emb, pad_multiple=64, metric="ip")
+        l2 = build_flat_index(emb, pad_multiple=64, metric="l2")
+        _, r_ip = flat_search(ip, jnp.asarray(q), top_k=5)
+        _, r_l2 = flat_search(l2, jnp.asarray(q), top_k=5)
+        # big-norm docs dominate ip but not l2
+        assert not np.array_equal(np.asarray(r_ip), np.asarray(r_l2))
+
+    def test_self_query_is_nearest(self):
+        rng = np.random.RandomState(3)
+        emb = (rng.randn(64, 16) * 3).astype(np.float32)
+        index = build_flat_index(emb, pad_multiple=64, metric="l2")
+        vals, rows = flat_search(index, jnp.asarray(emb[[4, 9]]), top_k=3)
+        assert np.asarray(rows)[:, 0].tolist() == [4, 9]
+        # distance to self ~ 0 (bf16 rounding of the doc matrix)
+        assert (np.abs(np.asarray(vals)[:, 0]) < 0.5).all()
+
+    def test_padding_never_wins(self):
+        emb = np.full((5, 8), 100.0, np.float32)   # far from origin
+        index = build_flat_index(emb, pad_multiple=128, metric="l2")
+        # zero-padding rows are CLOSER to the origin query than the real
+        # docs — the +inf doc_sq and n_docs mask must still exclude them
+        q = np.zeros((1, 8), np.float32)
+        _, rows = flat_search(index, jnp.asarray(q), top_k=5)
+        assert np.asarray(rows).max() < 5
+
+    def test_approx_mode_high_recall(self):
+        """approx_max_k selection (TPU PartialReduce; exact fallback on
+        CPU) must recover nearly all of the exact top-k."""
+        rng = np.random.RandomState(4)
+        emb = rng.randn(4096, 32).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        index = build_flat_index(emb, pad_multiple=128)
+        q = jnp.asarray(rng.randn(16, 32).astype(np.float32))
+        _, exact = flat_search(index, q, top_k=10)
+        _, appr = flat_search(index, q, top_k=10, approx=True,
+                              recall_target=0.95)
+        exact, appr = np.asarray(exact), np.asarray(appr)
+        hits = sum(len(set(exact[i]) & set(appr[i])) for i in range(16))
+        assert hits >= 0.9 * exact.size, f"approx recall {hits/exact.size}"
+
+
 class TestIvfSearch:
     def test_full_probe_equals_flat(self):
         """nprobe == nlist must reproduce exact search."""
