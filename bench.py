@@ -225,14 +225,24 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
     t0 = time.perf_counter()
     sb.precompute_embeddings(dense)          # one-time corpus embedding pass
     embed_s = time.perf_counter() - t0
-    lm.retrieve(queries2.queries[:1], ["en"], k=10)  # warm
+    lm.retrieve(queries2.queries[: lm.query_batch], ["en"] * lm.query_batch,
+                k=10)                        # warm the one chunk shape
     t0 = time.perf_counter()
-    res2 = lm.retrieve(queries2.queries, queries2.langs, k=10)
+    res2, s1 = lm.retrieve(queries2.queries, queries2.langs, k=10,
+                           with_stage1=True)
     dt2 = time.perf_counter() - t0
     out.update({
         "sentence_lm_cascade_qps": round(sent_queries / dt2, 1),
         "sentence_lm_cascade_recall_at_10": round(
             recall_at_k(res2, queries2.positive_docs, 10), 4),
+        # stage-1 diagnostics: BM25-order recall@10 (is the re-rank a win?)
+        # and the full candidate-set recall — the ceiling ANY re-ranker of
+        # these candidates could reach
+        "sentence_bm25_only_recall_at_10": round(
+            recall_at_k(s1, queries2.positive_docs, 10), 4),
+        "sentence_candidate_ceiling_recall": round(
+            recall_at_k(s1, queries2.positive_docs,
+                        max(len(r) for r in s1)), 4),
         "sentence_index_build_sec": round(sent_build_s, 1),
         "sentence_embed_once_sec": round(embed_s, 1),
         "n_sentences": len(sb.texts),

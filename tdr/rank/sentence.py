@@ -179,42 +179,79 @@ class SentenceLmCascade:
     bm25_candidates: int = 100
     preprocessor: Preprocessor = field(default_factory=lambda: Preprocessor("best"))
     default_lang: str = "en"
+    query_batch: int = 128
+
+    def _tokenize(self, queries: Sequence[str], q_idx: Sequence[int],
+                  lang: str) -> List[List[str]]:
+        if self.preprocessor.spec.name == "best":
+            from tdr.text.fast import fast_available, fast_tokenize_texts
+
+            if fast_available():
+                return fast_tokenize_texts([queries[i] for i in q_idx], lang)
+        return [self.preprocessor(queries[i], lang) for i in q_idx]
 
     def retrieve(
-        self, queries: Sequence[str], langs: Sequence[str], k: int = 10
-    ) -> List[List[str]]:
+        self, queries: Sequence[str], langs: Sequence[str], k: int = 10,
+        with_stage1: bool = False,
+    ):
+        """Top-k docids per query; ``with_stage1=True`` additionally returns
+        the FULL deduped candidate-doc lists in BM25 order (the stage-1
+        ranking before the dense re-rank) so callers can measure the
+        re-rank's candidate ceiling and its win/loss vs plain sentence-BM25.
+
+        Stage 1 runs like the router's hot path (router.py:276-310): every
+        language group is cut into fixed ``query_batch`` chunks (one jit
+        shape), all chunks are dispatched asynchronously, and the results
+        come back in ONE packed device→host transfer — a single jumbo
+        (Q, S) dispatch at corpus scale paid a fresh full-size compile plus
+        a >1 GB score-matrix round trip and ran at ~4 qps."""
         results: List[Optional[List[str]]] = [None] * len(queries)
+        stage1: List[Optional[List[str]]] = [None] * len(queries)
         groups: Dict[str, List[int]] = {}
         for i, lang in enumerate(langs):
             key = lang if lang in self.sentence_models else self.default_lang
             groups.setdefault(key, []).append(i)
 
+        # phase 1: queue every stage-1 scoring chunk (async) while the host
+        # keeps tokenizing; also one batched encoder forward per group
+        pending = []        # (smodel, sel, vals_dev, rows_dev, n, q_embs, off)
         for lang, q_idx in groups.items():
             smodel = self.sentence_models[lang]
             # corpus-wide sentence embeddings, computed ONCE (reference
             # semantics, team_run1.py:225-239) — no per-query encoder calls
             smodel.precompute_embeddings(self.dense)
-            if self.preprocessor.spec.name == "best":
-                from tdr.text.fast import fast_available, fast_tokenize_texts
-
-                if fast_available():
-                    toks = fast_tokenize_texts(
-                        [queries[i] for i in q_idx], lang)
-                else:
-                    toks = [self.preprocessor(queries[i], lang) for i in q_idx]
-            else:
-                toks = [self.preprocessor(queries[i], lang) for i in q_idx]
-            vals, rows = smodel.model.topk_tokens(toks, self.bm25_candidates)
-            valid = np.isfinite(np.asarray(vals))                # (G, M)
-            rows_c = np.clip(np.asarray(rows), 0, len(smodel.texts) - 1)
-            # one batched encoder forward for ALL of the group's queries
+            toks = self._tokenize(queries, q_idx, lang)
             q_embs = self.dense.encode_queries([queries[i] for i in q_idx])
-            cand_emb = smodel.embeddings[rows_c]                 # (G, M, D)
-            sims = np.einsum("gmd,gd->gm", cand_emb, q_embs)
+            for s in range(0, len(q_idx), self.query_batch):
+                vals, rows, n = smodel.model.topk_tokens_async(
+                    toks[s : s + self.query_batch], self.bm25_candidates,
+                    pad_to=self.query_batch)
+                pending.append((smodel, q_idx[s : s + self.query_batch],
+                                vals, rows, n, q_embs, s))
+
+        if not pending:
+            return ([], []) if with_stage1 else []
+
+        # phase 2: ONE packed pull for all chunks (see router._gather_pending
+        # — per-chunk np.asarray is a 30-50 ms RPC each on remote backends)
+        from tdr.rank.router import _gather_pending
+
+        all_vals, all_rows = _gather_pending(
+            [p[2] for p in pending], [p[3] for p in pending])
+
+        # phase 3: dense re-rank per chunk — host-side (n, M, D) gather +
+        # one einsum; M=bm25_candidates keeps this tiny next to stage 1
+        for b, (smodel, sel, _, _, n, q_embs, off) in enumerate(pending):
+            vals = all_vals[b][:n]
+            rows = all_rows[b][:n]
+            valid = np.isfinite(vals)                            # (n, M)
+            rows_c = np.clip(rows, 0, len(smodel.texts) - 1)
+            cand_emb = smodel.embeddings[rows_c]                 # (n, M, D)
+            sims = np.einsum("gmd,gd->gm", cand_emb, q_embs[off : off + n])
             sims = np.where(valid, sims, -np.inf)
-            order = np.argsort(-sims, axis=1, kind="stable")     # (G, M)
-            doc_idx = smodel.doc_of_row[rows_c]                  # (G, M)
-            for j, qi in enumerate(q_idx):
+            order = np.argsort(-sims, axis=1, kind="stable")     # (n, M)
+            doc_idx = smodel.doc_of_row[rows_c]                  # (n, M)
+            for j, qi in enumerate(sel):
                 # dedupe sentences → docs, keep first (best) per doc
                 docs: List[str] = []
                 seen = set()
@@ -228,4 +265,20 @@ class SentenceLmCascade:
                     if len(docs) >= k:
                         break
                 results[qi] = docs
-        return [r if r is not None else [] for r in results]
+                if with_stage1:
+                    # same dedupe in stage-1 (BM25) order, NO k cap: the
+                    # full candidate-doc list bounds any re-ranker's recall
+                    s1: List[str] = []
+                    seen1 = set()
+                    for o in range(rows_c.shape[1]):
+                        if not valid[j, o]:
+                            break
+                        d = int(doc_idx[j, o])
+                        if d not in seen1:
+                            seen1.add(d)
+                            s1.append(smodel.doc_table[d])
+                    stage1[qi] = s1
+        out = [r if r is not None else [] for r in results]
+        if with_stage1:
+            return out, [r if r is not None else [] for r in stage1]
+        return out

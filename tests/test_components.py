@@ -148,6 +148,40 @@ class TestSentenceLmCascade:
         dense.encode_queries = orig
         assert len(calls) == 1 and calls[0] == 8, calls
 
+    def test_chunked_equals_jumbo_and_stage1(self):
+        """The fixed-shape chunked stage-1 dispatch (query_batch) must not
+        change results, and with_stage1 must expose the BM25-order
+        candidate docs that bound the re-rank."""
+        from tdr.models.dense import DenseModel
+        from tdr.train import train_dense_retriever
+        from tdr.utils.config import DenseConfig
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=90, n_queries=21, seed=23,
+                          ref_proportions=False, langs=("en", "de"),
+                          doc_len_mean=40))
+        dcfg = DenseConfig(vocab_size=2000, dim=32, depth=1, heads=2, max_len=32)
+        model, state, _ = train_dense_retriever(
+            corpus, queries, dcfg, epochs=1, batch_size=21, n_neg=1, lr=1e-3)
+        dense = DenseModel.build(model, state.params, dcfg,
+                                 corpus.texts[:1], corpus.docids[:1], batch=32)
+        sms = {}
+        for lang in ("en", "de"):
+            ids = [d for d, l in zip(corpus.docids, corpus.langs) if l == lang]
+            txt = [t for t, l in zip(corpus.texts, corpus.langs) if l == lang]
+            sms[lang] = SentenceBM25.build(ids, txt, lang, index_cfg=CFG)
+        small = SentenceLmCascade(sms, dense, bm25_candidates=20, query_batch=4)
+        big = SentenceLmCascade(sms, dense, bm25_candidates=20, query_batch=256)
+        r_small, s1_small = small.retrieve(queries.queries, queries.langs,
+                                           k=5, with_stage1=True)
+        r_big = big.retrieve(queries.queries, queries.langs, k=5)
+        assert r_small == r_big
+        assert len(s1_small) == len(queries.queries)
+        for res, s1 in zip(r_small, s1_small):
+            # stage-1 candidates are a superset of the re-ranked top-k
+            assert set(res) <= set(s1)
+            assert len(set(s1)) == len(s1)
+
 
 class TestSvdPath:
     def test_svd_reconstructs_cosine_ranking(self):
