@@ -243,6 +243,7 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
         "sentence_candidate_ceiling_recall": round(
             recall_at_k(s1, queries2.positive_docs,
                         max(len(r) for r in s1)), 4),
+        "sentence_fusion_alpha": lm.fusion_alpha,
         "sentence_index_build_sec": round(sent_build_s, 1),
         "sentence_embed_once_sec": round(embed_s, 1),
         "n_sentences": len(sb.texts),

@@ -182,6 +182,35 @@ class TestSentenceLmCascade:
             assert set(res) <= set(s1)
             assert len(set(s1)) == len(s1)
 
+        # fusion endpoints: α=1 must reproduce the stage-1 (BM25) order
+        # exactly, α=0 the pure-cosine re-rank — min-max is monotonic
+        pure_bm25 = SentenceLmCascade(sms, dense, bm25_candidates=20,
+                                      query_batch=4, fusion_alpha=1.0)
+        r_bm25, s1 = pure_bm25.retrieve(queries.queries, queries.langs,
+                                        k=5, with_stage1=True)
+        assert r_bm25 == [c[:5] for c in s1]
+        pure_lm = SentenceLmCascade(sms, dense, bm25_candidates=20,
+                                    query_batch=4, fusion_alpha=0.0)
+        r_lm = pure_lm.retrieve(queries.queries, queries.langs, k=5)
+        for res in r_lm:
+            assert len(set(res)) == len(res)
+
+    def test_minmax_normalization(self):
+        from tdr.rank.sentence import _minmax
+
+        x = np.array([[3.0, 1.0, 2.0, -np.inf],
+                      [5.0, 5.0, 5.0, 5.0],
+                      [-np.inf, -np.inf, -np.inf, -np.inf]])
+        valid = np.isfinite(x)
+        out = _minmax(x, valid)
+        # row 0: spread → [0,1] preserving order, invalid slot → 0
+        np.testing.assert_allclose(out[0], [1.0, 0.0, 0.5, 0.0])
+        # row 1: no spread → constant 0.5
+        np.testing.assert_allclose(out[1], [0.5] * 4)
+        # row 2: nothing valid → all 0, and no NaNs anywhere
+        np.testing.assert_allclose(out[2], [0.0] * 4)
+        assert np.isfinite(out).all()
+
 
 class TestSvdPath:
     def test_svd_reconstructs_cosine_ranking(self):
