@@ -62,7 +62,8 @@ def _load_locked() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    srcs = [os.path.join(_DIR, f) for f in ("tokenizer.cc", "jsonload.cc")]
+    srcs = [os.path.join(_DIR, f)
+            for f in ("tokenizer.cc", "jsonload.cc", "hashenc.cc", "utf8.h")]
     stale = not os.path.exists(_SO) or any(
         os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_SO)
         for s in srcs)
@@ -88,6 +89,13 @@ def _load_locked() -> ctypes.CDLL:
     lib.tdr_parse_corpus.restype = ctypes.POINTER(_TdrCorpusResult)
     lib.tdr_parse_corpus.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.tdr_free_corpus.argtypes = [ctypes.POINTER(_TdrCorpusResult)]
+    lib.tdr_hash_encode.restype = None
+    lib.tdr_hash_encode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -130,6 +138,38 @@ def available() -> bool:
         return True
     except NativeUnavailable:
         return False
+
+
+def hash_encode_batch(
+    texts: Sequence[str],
+    vocab_size: int,
+    max_len: int = 128,
+    ngram_min: int = 3,
+    ngram_max: int = 5,
+    ngrams_per_word: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Feature-hash encode (dense encoder ids) → (ids (B, L) int32,
+    mask (B, L) float32).  Bit-identical to
+    ``tdr.text.hash_tokenizer.encode_batch`` for the corpus's scripts
+    (parity pinned in tests/test_native.py); rows are hashed by C++ threads
+    straight into the output buffers — the 600k-sentence embedding pass is
+    host-hashing bound on the pure-Python path."""
+    lib = _load()
+    encoded = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(texts) + 1, np.int64)
+    for i, e in enumerate(encoded):
+        offsets[i + 1] = offsets[i] + len(e)
+    blob = b"".join(encoded)
+    ids = np.zeros((len(texts), max_len), np.int32)
+    mask = np.zeros((len(texts), max_len), np.float32)
+    lib.tdr_hash_encode(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), vocab_size, max_len, ngram_min, ngram_max,
+        ngrams_per_word,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return ids, mask
 
 
 def tokenize_batch(

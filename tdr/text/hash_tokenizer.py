@@ -70,7 +70,21 @@ def encode_batch(
     vocab_size: int,
     max_len: int = 128,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Texts → (ids (B, L) int32, mask (B, L) float32)."""
+    """Texts → (ids (B, L) int32, mask (B, L) float32).
+
+    Uses the native C++ hasher (tdr/native/hashenc.cc) when the library is
+    available — the per-character Python FNV loop dominates the corpus-wide
+    sentence embedding pass otherwise — and falls back to the loop below,
+    which is the semantic oracle the native path is parity-tested against.
+    """
+    if texts:
+        try:
+            from tdr import native
+
+            if native.available():
+                return native.hash_encode_batch(texts, vocab_size, max_len)
+        except Exception:
+            pass        # any native failure routes through the oracle path
     B = len(texts)
     ids = np.zeros((B, max_len), np.int32)
     mask = np.zeros((B, max_len), np.float32)

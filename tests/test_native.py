@@ -282,3 +282,67 @@ class TestNativeCorpusParser:
                 native.parse_corpus_json(bad)
             with pytest.raises(Exception):
                 _json.loads(bad)   # oracle agrees these are malformed
+
+
+class TestNativeHashEncode:
+    """C++ feature-hash encoder (hashenc.cc) vs the Python oracle
+    (tdr.text.hash_tokenizer.encode_text) — the dense encoder's ids must be
+    bit-identical regardless of which path hashed the text, or embeddings
+    persisted from one process would not match queries encoded in another."""
+
+    V, L = 50_000, 128
+
+    def _oracle(self, texts):
+        from tdr.text import hash_tokenizer as ht
+
+        ids = np.zeros((len(texts), self.L), np.int32)
+        mask = np.zeros((len(texts), self.L), np.float32)
+        for i, t in enumerate(texts):
+            enc = ht.encode_text(t, self.V, self.L)
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = 1.0
+        return ids, mask
+
+    def _check(self, texts):
+        from tdr import native
+
+        ids, mask = self._oracle(texts)
+        ic, mc = native.hash_encode_batch(texts, self.V, self.L)
+        bad = np.nonzero((ids != ic).any(axis=1) | (mask != mc).any(axis=1))[0]
+        assert bad.size == 0, [(texts[b], ids[b][:12].tolist(),
+                                ic[b][:12].tolist()) for b in bad[:3]]
+
+    def test_edge_cases(self):
+        self._check([
+            "", "a", "The Quick_brown fox; jumps over 42 lazy dogs!",
+            "Überraschung Größe straße", "él ñandú corrió",
+            # Final_Sigma: Python lowers the raw TEXT first, so word-final Σ
+            # (next char not cased) becomes ς — incl. before digits/space
+            "ΛΟΓΟΣ Σίσυφος ΑΣ 1Σ ΣΣ", "ΛΟΓΟΣ9 ΟΔΥΣΣΕΥΣ",
+            "Привет мир", "안녕하세요 한국어 조사 입니다", "مرحبا بالعالم العربية",
+            "c'est l'été à Paris", "日本語のテスト", "x" * 500,
+            "word " * 100, "<angle> #hash #tags", "Mixed한국어English단어",
+            "µ-benchmark ª º",          # Latin-1 letters below 0xC0
+        ])
+
+    def test_real_sentences(self):
+        from tests.data_realtext import REAL_SENTENCES
+
+        texts = [s for sents in REAL_SENTENCES.values() for s in sents]
+        self._check(texts)
+
+    def test_synthetic_corpus(self):
+        corpus, _ = synthetic_corpus(
+            SyntheticSpec(n_docs=500, n_queries=10, seed=11, hard=True))
+        self._check(list(corpus.texts))
+
+    def test_encode_batch_routes_native(self):
+        """encode_batch (the dense model's entry point) must produce the
+        oracle's output whether or not it took the native path."""
+        from tdr.text.hash_tokenizer import encode_batch
+
+        texts = ["retrieval systems", "Größenordnung", "한국어 조사"]
+        ids, mask = encode_batch(texts, self.V, self.L)
+        oi, om = self._oracle(texts)
+        np.testing.assert_array_equal(ids, oi)
+        np.testing.assert_array_equal(mask, om)
