@@ -217,14 +217,12 @@ class SentenceLmCascade:
                 return fast_tokenize_texts([queries[i] for i in q_idx], lang)
         return [self.preprocessor(queries[i], lang) for i in q_idx]
 
-    def retrieve(
-        self, queries: Sequence[str], langs: Sequence[str], k: int = 10,
-        with_stage1: bool = False,
-    ):
-        """Top-k docids per query; ``with_stage1=True`` additionally returns
-        the FULL deduped candidate-doc lists in BM25 order (the stage-1
-        ranking before the dense re-rank) so callers can measure the
-        re-rank's candidate ceiling and its win/loss vs plain sentence-BM25.
+    def _run_stages(self, queries: Sequence[str], langs: Sequence[str]):
+        """Stage 1 (sentence-BM25 top-M) + stage-2 signals, NO fusion.
+
+        Returns chunks of ``(smodel, sel, vals, valid, sims, doc_idx)`` so
+        fusion/dedupe can re-run per ``alpha`` without re-scoring (the alpha
+        tuner sweeps a grid over ONE pass of the expensive stages).
 
         Stage 1 runs like the router's hot path (router.py:276-310): every
         language group is cut into fixed ``query_batch`` chunks (one jit
@@ -232,8 +230,6 @@ class SentenceLmCascade:
         come back in ONE packed device→host transfer — a single jumbo
         (Q, S) dispatch at corpus scale paid a fresh full-size compile plus
         a >1 GB score-matrix round trip and ran at ~4 qps."""
-        results: List[Optional[List[str]]] = [None] * len(queries)
-        stage1: List[Optional[List[str]]] = [None] * len(queries)
         groups: Dict[str, List[int]] = {}
         for i, lang in enumerate(langs):
             key = lang if lang in self.sentence_models else self.default_lang
@@ -257,7 +253,7 @@ class SentenceLmCascade:
                                 vals, rows, n, q_embs, s))
 
         if not pending:
-            return ([], []) if with_stage1 else []
+            return []
 
         # phase 2: ONE packed pull for all chunks (see router._gather_pending
         # — per-chunk np.asarray is a 30-50 ms RPC each on remote backends)
@@ -266,8 +262,9 @@ class SentenceLmCascade:
         all_vals, all_rows = _gather_pending(
             [p[2] for p in pending], [p[3] for p in pending])
 
-        # phase 3: dense re-rank per chunk — host-side (n, M, D) gather +
-        # one einsum; M=bm25_candidates keeps this tiny next to stage 1
+        # phase 3 signals: host-side (n, M, D) gather + one einsum per
+        # chunk; M=bm25_candidates keeps this tiny next to stage 1
+        chunks = []
         for b, (smodel, sel, _, _, n, q_embs, off) in enumerate(pending):
             vals = all_vals[b][:n]
             rows = all_rows[b][:n]
@@ -275,45 +272,96 @@ class SentenceLmCascade:
             rows_c = np.clip(rows, 0, len(smodel.texts) - 1)
             cand_emb = smodel.embeddings[rows_c]                 # (n, M, D)
             sims = np.einsum("gmd,gd->gm", cand_emb, q_embs[off : off + n])
-            if self.fusion_alpha > 0.0:
-                # per-query min-max over the valid candidates puts both
-                # signals on [0, 1]; normalization is monotonic, so α=1
-                # reproduces the BM25 order and α=0 the cosine order
-                fused = (self.fusion_alpha * _minmax(vals, valid)
-                         + (1.0 - self.fusion_alpha) * _minmax(sims, valid))
-            else:
-                fused = sims
-            fused = np.where(valid, fused, -np.inf)
-            order = np.argsort(-fused, axis=1, kind="stable")    # (n, M)
             doc_idx = smodel.doc_of_row[rows_c]                  # (n, M)
+            chunks.append((smodel, sel, vals, valid, sims, doc_idx))
+        return chunks
+
+    @staticmethod
+    def _fuse(vals, valid, sims, alpha: float) -> np.ndarray:
+        """α·minmax(bm25) + (1−α)·minmax(cosine), invalid → −inf."""
+        if alpha > 0.0:
+            # per-query min-max over the valid candidates puts both
+            # signals on [0, 1]; normalization is monotonic, so α=1
+            # reproduces the BM25 order and α=0 the cosine order
+            fused = (alpha * _minmax(vals, valid)
+                     + (1.0 - alpha) * _minmax(sims, valid))
+        else:
+            fused = sims
+        return np.where(valid, fused, -np.inf)
+
+    @staticmethod
+    def _dedupe(smodel, order_row, valid_row, doc_idx_row, k) -> List[str]:
+        """Sentences → docs in ``order_row``, keep first (best) per doc."""
+        docs: List[str] = []
+        seen = set()
+        for o in order_row:
+            if not valid_row[o]:
+                break
+            d = int(doc_idx_row[o])
+            if d not in seen:
+                seen.add(d)
+                docs.append(smodel.doc_table[d])
+            if k is not None and len(docs) >= k:
+                break
+        return docs
+
+    def retrieve(
+        self, queries: Sequence[str], langs: Sequence[str], k: int = 10,
+        with_stage1: bool = False,
+    ):
+        """Top-k docids per query; ``with_stage1=True`` additionally returns
+        the FULL deduped candidate-doc lists in BM25 order (the stage-1
+        ranking before the dense re-rank) so callers can measure the
+        re-rank's candidate ceiling and its win/loss vs plain sentence-BM25."""
+        chunks = self._run_stages(queries, langs)
+        if not chunks:
+            return ([], []) if with_stage1 else []
+        results: List[Optional[List[str]]] = [None] * len(queries)
+        stage1: List[Optional[List[str]]] = [None] * len(queries)
+        for smodel, sel, vals, valid, sims, doc_idx in chunks:
+            fused = self._fuse(vals, valid, sims, self.fusion_alpha)
+            order = np.argsort(-fused, axis=1, kind="stable")    # (n, M)
             for j, qi in enumerate(sel):
-                # dedupe sentences → docs, keep first (best) per doc
-                docs: List[str] = []
-                seen = set()
-                for o in order[j]:
-                    if not valid[j, o]:
-                        break
-                    d = int(doc_idx[j, o])
-                    if d not in seen:
-                        seen.add(d)
-                        docs.append(smodel.doc_table[d])
-                    if len(docs) >= k:
-                        break
-                results[qi] = docs
+                results[qi] = self._dedupe(smodel, order[j], valid[j],
+                                           doc_idx[j], k)
                 if with_stage1:
                     # same dedupe in stage-1 (BM25) order, NO k cap: the
                     # full candidate-doc list bounds any re-ranker's recall
-                    s1: List[str] = []
-                    seen1 = set()
-                    for o in range(rows_c.shape[1]):
-                        if not valid[j, o]:
-                            break
-                        d = int(doc_idx[j, o])
-                        if d not in seen1:
-                            seen1.add(d)
-                            s1.append(smodel.doc_table[d])
-                    stage1[qi] = s1
+                    stage1[qi] = self._dedupe(
+                        smodel, range(valid.shape[1]), valid[j],
+                        doc_idx[j], None)
         out = [r if r is not None else [] for r in results]
         if with_stage1:
             return out, [r if r is not None else [] for r in stage1]
         return out
+
+    def tune_fusion_alpha(
+        self, queries: Sequence[str], langs: Sequence[str],
+        positives: Sequence[str], k: int = 10,
+        grid: Sequence[float] = (0.0, 0.2, 0.35, 0.5, 0.65, 0.8, 1.0),
+    ) -> Tuple[float, Dict[float, float]]:
+        """Pick ``fusion_alpha`` by recall@k on a DEV split.
+
+        The expensive stages (sentence-BM25 top-M + encoder forwards) run
+        once; each grid point only re-fuses and re-dedupes on the host.
+        Sets ``self.fusion_alpha`` to the best value and returns it with the
+        full ``{alpha: recall}`` curve.  Use held-out queries, not the eval
+        set — the reference tuned its pipeline offline the same way
+        (team_run1.py's fixed top-100/top-10 constants).
+        """
+        from tdr.eval.metrics import recall_at_k
+
+        chunks = self._run_stages(queries, langs)
+        curve: Dict[float, float] = {}
+        for alpha in grid:
+            results: List[List[str]] = [[] for _ in queries]
+            for smodel, sel, vals, valid, sims, doc_idx in chunks:
+                fused = self._fuse(vals, valid, sims, alpha)
+                order = np.argsort(-fused, axis=1, kind="stable")
+                for j, qi in enumerate(sel):
+                    results[qi] = self._dedupe(smodel, order[j], valid[j],
+                                               doc_idx[j], k)
+            curve[alpha] = recall_at_k(results, positives, k)
+        best = max(curve, key=lambda a: (curve[a], a))
+        self.fusion_alpha = float(best)
+        return float(best), curve

@@ -195,6 +195,43 @@ class TestSentenceLmCascade:
         for res in r_lm:
             assert len(set(res)) == len(res)
 
+    def test_tune_fusion_alpha(self):
+        """One expensive pass, a host-side re-fuse per grid point: the
+        tuner's curve must equal recall measured by direct retrieval at the
+        same alphas, and the argmax must be installed on the cascade."""
+        from tdr.eval import recall_at_k
+        from tdr.models.dense import DenseModel
+        from tdr.train import train_dense_retriever
+        from tdr.utils.config import DenseConfig
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=80, n_queries=24, seed=31,
+                          ref_proportions=False, langs=("en",),
+                          doc_len_mean=40))
+        dcfg = DenseConfig(vocab_size=2000, dim=32, depth=1, heads=2, max_len=32)
+        model, state, _ = train_dense_retriever(
+            corpus, queries, dcfg, epochs=1, batch_size=24, n_neg=1, lr=1e-3)
+        dense = DenseModel.build(model, state.params, dcfg,
+                                 corpus.texts[:1], corpus.docids[:1], batch=32)
+        sb = SentenceBM25.build(corpus.docids, corpus.texts, "en",
+                                index_cfg=CFG)
+        casc = SentenceLmCascade({"en": sb}, dense, bm25_candidates=20,
+                                 query_batch=8)
+        grid = (0.0, 0.5, 1.0)
+        best, curve = casc.tune_fusion_alpha(
+            queries.queries, queries.langs, queries.positive_docs,
+            k=5, grid=grid)
+        assert set(curve) == set(grid)
+        assert casc.fusion_alpha == best
+        assert curve[best] == max(curve.values())
+        # the curve must agree with direct retrieval at each alpha
+        for alpha in grid:
+            direct = SentenceLmCascade({"en": sb}, dense, bm25_candidates=20,
+                                       query_batch=8, fusion_alpha=alpha)
+            res = direct.retrieve(queries.queries, queries.langs, k=5)
+            assert abs(curve[alpha]
+                       - recall_at_k(res, queries.positive_docs, 5)) < 1e-9
+
     def test_minmax_normalization(self):
         from tdr.rank.sentence import _minmax
 
