@@ -210,10 +210,13 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
     del cas, cand, rank, coo, res    # release stage indexes before sentences
 
     # sentence-LM cascade at >=500k sentences: small trained encoder,
-    # corpus-wide precomputed embeddings
+    # corpus-wide precomputed embeddings.  n_dev extra queries form a DEV
+    # split for the fusion-alpha tuner — tuned on dev, evaluated on the
+    # disjoint sent_queries tail (no leakage).
+    n_dev = 200
     corpus2, queries2 = synthetic_corpus(
-        SyntheticSpec(n_docs=sent_docs, n_queries=sent_queries, seed=7,
-                      hard=True, ref_proportions=False, langs=("en",),
+        SyntheticSpec(n_docs=sent_docs, n_queries=sent_queries + n_dev,
+                      seed=7, hard=True, ref_proportions=False, langs=("en",),
                       sentences_per_doc=6))
     dcfg = DenseConfig(vocab_size=4000, dim=64, depth=2, heads=4, max_len=32)
     model, state, _ = train_dense_retriever(
@@ -229,25 +232,34 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
     t0 = time.perf_counter()
     sb.precompute_embeddings(dense)          # one-time corpus embedding pass
     embed_s = time.perf_counter() - t0
-    lm.retrieve(queries2.queries[: lm.query_batch], ["en"] * lm.query_batch,
-                k=10)                        # warm the one chunk shape
+    # tune fusion alpha on the dev split (one stage pass, host re-fusions)
+    alpha, curve = lm.tune_fusion_alpha(
+        queries2.queries[:n_dev], queries2.langs[:n_dev],
+        queries2.positive_docs[:n_dev], k=10)
+    log.info("fusion alpha tuned on %d dev queries: %.2f (curve %s)",
+             n_dev, alpha, {a: round(r, 3) for a, r in curve.items()})
+    q_ev = queries2.queries[n_dev:]
+    l_ev = queries2.langs[n_dev:]
+    p_ev = queries2.positive_docs[n_dev:]
+    warm = q_ev[: lm.query_batch]
+    lm.retrieve(warm, ["en"] * len(warm), k=10)  # warm the one chunk shape
     t0 = time.perf_counter()
-    res2, s1 = lm.retrieve(queries2.queries, queries2.langs, k=10,
-                           with_stage1=True)
+    res2, s1 = lm.retrieve(q_ev, l_ev, k=10, with_stage1=True)
     dt2 = time.perf_counter() - t0
     out.update({
         "sentence_lm_cascade_qps": round(sent_queries / dt2, 1),
         "sentence_lm_cascade_recall_at_10": round(
-            recall_at_k(res2, queries2.positive_docs, 10), 4),
+            recall_at_k(res2, p_ev, 10), 4),
         # stage-1 diagnostics: BM25-order recall@10 (is the re-rank a win?)
         # and the full candidate-set recall — the ceiling ANY re-ranker of
         # these candidates could reach
         "sentence_bm25_only_recall_at_10": round(
-            recall_at_k(s1, queries2.positive_docs, 10), 4),
+            recall_at_k(s1, p_ev, 10), 4),
         "sentence_candidate_ceiling_recall": round(
-            recall_at_k(s1, queries2.positive_docs,
-                        max(len(r) for r in s1)), 4),
+            recall_at_k(s1, p_ev, max(len(r) for r in s1)), 4),
         "sentence_fusion_alpha": lm.fusion_alpha,
+        "sentence_alpha_dev_curve": {str(a): round(r, 4)
+                                     for a, r in curve.items()},
         "sentence_index_build_sec": round(sent_build_s, 1),
         "sentence_embed_once_sec": round(embed_s, 1),
         "n_sentences": len(sb.texts),
