@@ -97,6 +97,22 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n_rep
 
+    # approx head selection A/B (topk_mode="approx"): same engine, the
+    # head candidate top-k swapped for lax.approx_max_k @ recall 0.95
+    fa = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
+                                        tail_budget=model.tail_budget,
+                                        tail_engine=engine,
+                                        topk_mode="approx")
+    exact_docs = np.asarray(outs[0][1])
+    jax.block_until_ready(fa(batches[-1]))
+    t0 = time.perf_counter()
+    outs_a = [fa(b) for b in batches[:n_rep]]
+    jax.block_until_ready(outs_a)
+    dt_a = (time.perf_counter() - t0) / n_rep
+    approx_docs = np.asarray(outs_a[0][1])
+    overlap = np.mean([len(set(e) & set(a)) / len(e)
+                       for e, a in zip(exact_docs, approx_docs)])
+
     N = int(index.n_docs_pad)
     D = int(index.head_rows.shape[0])
     head_bytes = index.head_rows.dtype.itemsize
@@ -116,6 +132,8 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
         "tail_engine": engine,
         "head_covers_vocab": covers,
         "kernel_ms_per_batch": round(dt * 1e3, 2),
+        "kernel_approx_ms_per_batch": round(dt_a * 1e3, 2),
+        "kernel_approx_top10_overlap": round(float(overlap), 4),
         "model_bytes_per_batch": int(model_bytes),
         "model_gflops_per_batch": round(model_flops / 1e9, 1),
         "floor_ms_bandwidth": round(t_bw * 1e3, 2),

@@ -41,6 +41,11 @@ class SparseModel:
     # TPU (tdr.ops.pallas_tail) and the XLA sort-compactor elsewhere;
     # "pallas_interpret" forces the kernel through the interpreter (tests)
     tail_engine: str = "auto"
+    # head candidate selection: "exact" (lax.top_k) | "approx"
+    # (lax.approx_max_k, recall_target 0.95 — the FAISS-style speed/recall
+    # trade for the sparse engine; tail contributions and the merge stay
+    # exact either way).  Keep "exact" when results must be bit-stable.
+    topk_mode: str = "exact"
 
     def _resolved_tail_engine(self) -> str:
         if self.tail_engine == "auto":
@@ -76,7 +81,8 @@ class SparseModel:
         if self.use_fused_topk:
             return score_and_topk_fused(self.index, qids, qw, top_k=k,
                                         tail_budget=self.tail_budget,
-                                        tail_engine=self._resolved_tail_engine())
+                                        tail_engine=self._resolved_tail_engine(),
+                                        topk_mode=self.topk_mode)
         return score_and_topk(self.index, qids, qw, top_k=k)
 
     # -- scoring -------------------------------------------------------------

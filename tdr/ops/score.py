@@ -313,10 +313,12 @@ def _tail_compact(index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray,
     return docs, vals, active, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine",
+                                   "topk_mode"))
 def _fused_topk_core(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int,
     tail_budget: int, tail_engine: str = "xla", n_valid=None,
+    topk_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     qids = jnp.clip(qids, 0, index.vocab_size - 1)
     Q = qids.shape[0]
@@ -327,7 +329,17 @@ def _fused_topk_core(
     head = _head_scores_matmul(index, qids, qw)
     head = mask_invalid_docs(head, index.n_docs if n_valid is None else n_valid)
     k = min(top_k, index.n_docs_pad)
-    hv, hi = fast_topk(head, k)                             # (Q, k)
+    if topk_mode == "approx":
+        # lax.approx_max_k (TPU PartialReduce): the selection over the long
+        # doc axis is the second-largest cost after the matmul (~3.3 ms of
+        # the 6.7 ms en pass at (256, 262k)); approx selection runs it in
+        # <1 ms at recall_target=0.95 (measured 0.98 top-10 overlap on the
+        # dense path, BENCH_r03 dense_flat_approx_*).  Only the HEAD
+        # candidate selection is approximate — tail-touched docs and the
+        # final merge stay exact.  Falls back to exact off-TPU.
+        hv, hi = jax.lax.approx_max_k(head, k, recall_target=0.95)
+    else:
+        hv, hi = fast_topk(head, k)                         # (Q, k)
 
     # full-vocab head (the waterfill budget split saturates small-vocab
     # languages, router.py): every term is a head row, the tail is empty —
@@ -405,10 +417,12 @@ def _fused_topk_core(
     return vals_out, docs_out, overflow
 
 
-@partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine"))
+@partial(jax.jit, static_argnames=("top_k", "tail_budget", "tail_engine",
+                                   "topk_mode"))
 def score_and_topk_fused(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, top_k: int = 10,
     tail_budget: int = 2048, tail_engine: str = "xla", n_valid=None,
+    topk_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k without the tail scatter (the scatter dominates
     `score_and_topk` ~10x on TPU).
@@ -429,7 +443,8 @@ def score_and_topk_fused(
     compute nor a host round-trip for the overflow flag.
     """
     vals, docs, overflow = _fused_topk_core(index, qids, qw, top_k,
-                                            tail_budget, tail_engine, n_valid)
+                                            tail_budget, tail_engine, n_valid,
+                                            topk_mode)
 
     def fallback(args):
         vals, docs, overflow = args

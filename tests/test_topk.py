@@ -69,3 +69,56 @@ class TestTopkGrouped:
         rng = np.random.RandomState(6)
         s = jnp.asarray(rng.randn(3, 8192).astype(np.float32))
         _assert_same(s, 10, group)
+
+
+class TestApproxTopkMode:
+    """topk_mode="approx" on the sparse engine (lax.approx_max_k head
+    selection).  On CPU approx_max_k lowers to an exact selection, so the
+    mode must return the same doc sets as exact here; on TPU it is the
+    measured speed/recall trade (bench kernel section)."""
+
+    def test_fused_engine_approx_mode_matches_exact_on_cpu(self):
+        from tdr.data import SyntheticSpec, synthetic_corpus
+        from tdr.models import BM25Model
+        from tdr.text import Preprocessor
+        from tdr.utils.config import IndexConfig
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=400, n_queries=40, seed=13,
+                          ref_proportions=False, langs=("en",)))
+        pp = Preprocessor("best")
+        toks = [pp(t, "en") for t in corpus.texts]
+        m = BM25Model.build(toks, corpus.docids, lang="en",
+                            index_cfg=IndexConfig(head_budget_bytes=1 << 20))
+        qt = [pp(q, "en") for q in queries.queries]
+        ve, re_ = m.topk_tokens(qt, k=10)
+        m.topk_mode = "approx"
+        va, ra = m.topk_tokens(qt, k=10)
+        # same docs per query (order may differ among score ties)
+        for r1, r2, v1, v2 in zip(re_, ra, ve, va):
+            np.testing.assert_allclose(np.sort(v1), np.sort(v2), rtol=1e-6)
+            assert set(r1[np.isfinite(v1)].tolist()) \
+                == set(r2[np.isfinite(v2)].tolist())
+
+    def test_full_head_model_approx_mode(self):
+        """Small-vocab index where the head covers the vocab (the en case
+        at reference scale): approx mode hits the no-tail fast path."""
+        from tdr.data import SyntheticSpec, synthetic_corpus
+        from tdr.models import BM25Model
+        from tdr.text import Preprocessor
+        from tdr.utils.config import IndexConfig
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=300, n_queries=20, seed=17,
+                          ref_proportions=False, langs=("en",)))
+        pp = Preprocessor("best")
+        toks = [pp(t, "en") for t in corpus.texts]
+        m = BM25Model.build(toks, corpus.docids, lang="en",
+                            index_cfg=IndexConfig(head_budget_bytes=1 << 30))
+        assert m.index.head_size >= m.index.vocab_size
+        qt = [pp(q, "en") for q in queries.queries]
+        ve, re_ = m.topk_tokens(qt, k=10)
+        m.topk_mode = "approx"
+        va, ra = m.topk_tokens(qt, k=10)
+        for r1, r2, v1, v2 in zip(re_, ra, ve, va):
+            np.testing.assert_allclose(np.sort(v1), np.sort(v2), rtol=1e-6)
