@@ -113,6 +113,36 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
     overlap = np.mean([len(set(e) & set(a)) / len(e)
                        for e, a in zip(exact_docs, approx_docs)])
 
+    # int8 scalar-quantized head A/B (IndexConfig.head_dtype="int8" /
+    # build.quantize_head): int8×int8→int32 MXU matmul, per-doc-column
+    # dequantization on the output — halves the dominant head-read bytes
+    # of bf16 and doubles the systolic rate; tail + merge stay exact
+    from tdr.index.build import quantize_head
+
+    index8 = quantize_head(index)
+    f8 = lambda b: score_and_topk_fused(index8, b[0], b[1], top_k=10,
+                                        tail_budget=model.tail_budget,
+                                        tail_engine=engine)
+    jax.block_until_ready(f8(batches[-1]))
+    t0 = time.perf_counter()
+    outs_8 = [f8(b) for b in batches[:n_rep]]
+    jax.block_until_ready(outs_8)
+    dt_8 = (time.perf_counter() - t0) / n_rep
+    int8_docs = np.asarray(outs_8[0][1])
+    overlap_8 = np.mean([len(set(e) & set(a)) / len(e)
+                         for e, a in zip(exact_docs, int8_docs)])
+    # int8 + approx selection stacked: the two optimizations are orthogonal
+    f8a = lambda b: score_and_topk_fused(index8, b[0], b[1], top_k=10,
+                                         tail_budget=model.tail_budget,
+                                         tail_engine=engine,
+                                         topk_mode="approx")
+    jax.block_until_ready(f8a(batches[-1]))
+    t0 = time.perf_counter()
+    outs_8a = [f8a(b) for b in batches[:n_rep]]
+    jax.block_until_ready(outs_8a)
+    dt_8a = (time.perf_counter() - t0) / n_rep
+    del index8, outs_8, outs_8a
+
     N = int(index.n_docs_pad)
     D = int(index.head_rows.shape[0])
     head_bytes = index.head_rows.dtype.itemsize
@@ -134,6 +164,9 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
         "kernel_ms_per_batch": round(dt * 1e3, 2),
         "kernel_approx_ms_per_batch": round(dt_a * 1e3, 2),
         "kernel_approx_top10_overlap": round(float(overlap), 4),
+        "kernel_int8_ms_per_batch": round(dt_8 * 1e3, 2),
+        "kernel_int8_top10_overlap": round(float(overlap_8), 4),
+        "kernel_int8_approx_ms_per_batch": round(dt_8a * 1e3, 2),
         "model_bytes_per_batch": int(model_bytes),
         "model_gflops_per_batch": round(model_flops / 1e9, 1),
         "floor_ms_bandwidth": round(t_bw * 1e3, 2),

@@ -66,6 +66,9 @@ def save_sparse_model(path: str, model: SparseModel) -> None:
     dtypes: Dict[str, str] = {}
     for name in _INDEX_ARRAYS:
         arrays[name], dtypes[name] = _to_numpy_savable(getattr(model.index, name))
+    if model.index.head_scale is not None:
+        arrays["head_scale"], dtypes["head_scale"] = _to_numpy_savable(
+            model.index.head_scale)
     for name in _STATS_ARRAYS:
         arrays[f"stats_{name}"], dtypes[f"stats_{name}"] = _to_numpy_savable(
             getattr(model.index.stats, name))
@@ -107,6 +110,9 @@ def load_sparse_model(path: str) -> SparseModel:
 
     index_kw = {name: _from_numpy_saved(data[name], dtypes[name])
                 for name in _INDEX_ARRAYS}
+    if "head_scale" in data:
+        index_kw["head_scale"] = _from_numpy_saved(
+            data["head_scale"], dtypes["head_scale"])
     stats = IndexStats(**{
         name: _from_numpy_saved(data[f"stats_{name}"], dtypes[f"stats_{name}"])
         for name in _STATS_ARRAYS
@@ -195,9 +201,12 @@ def save_sharded_index(path: str, sindex) -> None:
     for name in _SHARDED_SHARED:
         shared[name], dtypes[name] = _to_numpy_savable(getattr(sindex, name))
     np.savez(os.path.join(path, "shared.npz"), **shared)
+    stacked = list(_SHARDED_STACKED)
+    if sindex.head_scale is not None:
+        stacked.append("head_scale")
     for s in range(sindex.n_shards):
         arrays: Dict[str, np.ndarray] = {}
-        for name in _SHARDED_STACKED:
+        for name in stacked:
             arr, dt = _to_numpy_savable(getattr(sindex, name)[s])
             arrays[name] = arr
             dtypes[name] = dt
@@ -223,16 +232,19 @@ def load_sharded_index(path: str):
     S = meta["statics"]["n_shards"]
     from concurrent.futures import ThreadPoolExecutor
 
+    stacked = list(_SHARDED_STACKED) + (
+        ["head_scale"] if "head_scale" in dtypes else [])
+
     def _load_shard(s):
         data = np.load(os.path.join(path, f"shard_{s:04d}.npz"))
         return {name: _from_numpy_saved(data[name], dtypes[name])
-                for name in _SHARDED_STACKED}
+                for name in stacked}
 
     # parallel shard reload (reference: ThreadPoolExecutor over pickle
     # batches, final_implementation.py:223-287)
     with ThreadPoolExecutor(max_workers=min(8, S)) as ex:
         shards = list(ex.map(_load_shard, range(S)))
-    for name in _SHARDED_STACKED:
+    for name in stacked:
         kw[name] = jnp.stack([sh[name] for sh in shards])
     return ShardedSparseIndex(**kw, **meta["statics"])
 

@@ -4,6 +4,7 @@ from tdr.index.build import (
     build_index,
     compute_idf,
     build_tfidf_index,
+    quantize_head,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "build_index",
     "compute_idf",
     "build_tfidf_index",
+    "quantize_head",
 ]

@@ -125,6 +125,38 @@ def select_head(df: jnp.ndarray, head_size: int) -> jnp.ndarray:
     return head_slot
 
 
+@jax.jit
+def _quantize_head_rows(head_rows: jnp.ndarray):
+    """Per-doc-column symmetric int8 quantization of the dense head.
+
+    Scale granularity is the DOCUMENT column (the matmul's output axis):
+    ``head[d, n] ≈ q8[d, n] * scale[n]``, so the scale factors out of the
+    term-sum and is applied AFTER the int8×int8→int32 MXU contraction —
+    nothing approximate ever enters the reduction itself.  Score weights
+    are >= 0 (idf·tf-saturation), so the full [0, 127] range is used.
+    Empty (padded) doc columns get scale 0 and stay exactly zero.
+
+    The FAISS scalar-quantizer (SQ8) analogue for the sparse engine: the
+    reference stores f32 postings (bm25_ranking.ipynb:158-205); this trades
+    ~0.4% per-entry rounding for half the HBM traffic of bf16 and the 2×
+    int8 MXU rate."""
+    rows = head_rows.astype(jnp.float32)
+    colmax = jnp.max(jnp.abs(rows), axis=0)                  # (N_pad,)
+    scale = colmax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q8 = jnp.round(rows * inv[None, :]).astype(jnp.int8)
+    return q8, scale
+
+
+def quantize_head(index: "SparseIndex") -> "SparseIndex":
+    """Return a copy of ``index`` with an int8 scalar-quantized head
+    (see ``_quantize_head_rows``).  No-op if already quantized."""
+    if index.head_rows.dtype == jnp.int8:
+        return index
+    q8, scale = _quantize_head_rows(index.head_rows)
+    return dataclasses.replace(index, head_rows=q8, head_scale=scale)
+
+
 # --------------------------------------------------------------------------
 # Index containers (pytrees)
 # --------------------------------------------------------------------------
@@ -160,8 +192,13 @@ class SparseIndex:
     postings_tf: jnp.ndarray     # (nnz_pad,) float32 raw tf, padded 0
     # dense head
     head_slot: jnp.ndarray       # (V,) int32: slot in head_rows, or -1
-    head_rows: jnp.ndarray       # (D, N_pad) float32
+    head_rows: jnp.ndarray       # (D, N_pad) float32/bf16, or int8 quantized
     stats: IndexStats
+    # per-doc-column dequantization scale for int8 heads (None otherwise):
+    # head[d, n] ≈ head_rows[d, n] * head_scale[n].  The scale rides the
+    # OUTPUT axis of the score matmul, so scoring runs int8×int8→int32 on
+    # the MXU and rescales the (Q, N) result — see _head_scores_matmul.
+    head_scale: Optional[jnp.ndarray] = None   # (N_pad,) float32
 
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_docs_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -263,14 +300,17 @@ def _pad_docs(n_docs: int, cfg: IndexConfig) -> int:
     return n_docs_pad
 
 
+def _head_itemsize(cfg: IndexConfig) -> int:
+    return {"bfloat16": 2, "int8": 1}.get(cfg.head_dtype, 4)
+
+
 def full_head_bytes(vocab_size: int, n_docs: int, cfg: IndexConfig) -> int:
     """HBM bytes needed to give EVERY vocab term a dense head row — beyond
     this the tail is empty (pure-MXU scoring) and more budget is useless.
     Used by the router's waterfill budget split."""
     n_docs_pad = _pad_docs(n_docs, cfg)
     vocab_pad = _bucket(max(vocab_size, 1), 128) if cfg.shape_bucketing else vocab_size
-    itemsize = 2 if cfg.head_dtype == "bfloat16" else 4
-    return vocab_pad * n_docs_pad * itemsize
+    return vocab_pad * n_docs_pad * _head_itemsize(cfg)
 
 
 def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
@@ -278,8 +318,7 @@ def _auto_head_size(vocab_size: int, n_docs_pad: int, cfg: IndexConfig) -> int:
     bf16 rows fit twice as many terms per byte as f32)."""
     if n_docs_pad == 0:
         return 0
-    itemsize = 2 if cfg.head_dtype == "bfloat16" else 4
-    d = int(cfg.head_budget_bytes // (itemsize * n_docs_pad))
+    d = int(cfg.head_budget_bytes // (_head_itemsize(cfg) * n_docs_pad))
     d = max(0, min(d, vocab_size))
     return (d // 8) * 8 if d >= 8 else (1 if d > 0 else 0)
 
@@ -402,8 +441,11 @@ def build_index(
         b=bm25.b, dl_scaled_by_b=bm25.dl_scaled_by_b, weight_kind=weight_kind,
     )
 
+    head_scale = None
     if index_cfg.head_dtype == "bfloat16":
         head_rows = head_rows.astype(jnp.bfloat16)
+    elif index_cfg.head_dtype == "int8":
+        head_rows, head_scale = _quantize_head_rows(head_rows)
 
     if tail_pmax is None:
         tail_pmax = int(np.asarray(tail_df_max))
@@ -443,6 +485,7 @@ def build_index(
         head_slot=jnp.asarray(head_slot),
         head_rows=head_rows,
         stats=stats,
+        head_scale=head_scale,
         n_docs=n_docs,
         n_docs_pad=n_docs_pad,
         vocab_size=vocab_pad,

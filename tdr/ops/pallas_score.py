@@ -118,6 +118,12 @@ def head_scores_pallas(
     re-scored with the XLA reference path (rare; detected exactly).
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU test
     suite)."""
+    if index.head_rows.dtype == jnp.int8:
+        raise NotImplementedError(
+            "head_scores_pallas is the off-path reference kernel and does "
+            "not implement int8 dequantization — use the production "
+            "full-head matmul (tdr.ops.score), which scores quantized "
+            "heads natively")
     out, overflow = _head_scores_pallas_core(
         index, qids, qw, max_head_terms, interpret)
 
@@ -140,4 +146,5 @@ def pallas_head_available(index: SparseIndex) -> bool:
         return False
     # the axon PJRT plugin exposes TPU devices under its own platform name
     return (dev.platform in ("tpu", "axon")
-            and index.n_docs_pad <= MAX_PALLAS_N)
+            and index.n_docs_pad <= MAX_PALLAS_N
+            and index.head_rows.dtype != jnp.int8)

@@ -37,6 +37,26 @@ WILDCARD_LANG = -2
 _HEAD_CHUNK = 16
 
 
+def int8_head_matmul(W: jnp.ndarray, rows8: jnp.ndarray) -> jnp.ndarray:
+    """``W_f32 (Q, D) @ rows8_int8 (D, N)`` with the query-side scale folded
+    back out: returns f32 scores still MISSING the per-doc-column
+    dequantization scale (callers multiply by ``head_scale`` — after their
+    collective, in the sharded paths, since a per-column factor distributes
+    over the device sum).
+
+    Query weights quantize losslessly in the common case — BM25 unit
+    weights are small integers, carried through at scale 1 — and at ≤0.4%
+    relative rounding otherwise (idf-weighted cosine queries)."""
+    wmax = jnp.max(W, axis=1, keepdims=True)                   # (Q, 1), >= 0
+    integral = (jnp.all(W == jnp.round(W), axis=1, keepdims=True)
+                & (wmax <= 127.0))
+    qscale = jnp.where(integral, 1.0, jnp.maximum(wmax, 1e-30) / 127.0)
+    w8 = jnp.round(W / qscale).astype(jnp.int8)
+    acc = jax.lax.dot_general(w8, rows8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * qscale
+
+
 def _head_scores_capped(
     index: SparseIndex, qids: jnp.ndarray, qw: jnp.ndarray, max_terms: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -85,6 +105,9 @@ def _head_scores_capped(
     # fail scan's carry typing); the 0-mul folds away in XLA
     init = jnp.zeros((Q, index.n_docs_pad), jnp.float32) + 0.0 * rows_t[0][None, :].astype(jnp.float32)
     scores, _ = jax.lax.scan(step, init, (slot_ch, w_ch))
+    if rows_t.dtype == jnp.int8:
+        # per-doc-column dequantization scale factors out of the term sum
+        scores = scores * index.head_scale[None, :]
     return scores, overflow
 
 
@@ -120,6 +143,12 @@ def _head_scores_matmul(
     W = jnp.zeros((Q, D), jnp.float32).at[
         q_idx.reshape(-1), jnp.where(active, slot, 0).reshape(-1)
     ].add(jnp.where(active, qw, 0.0).reshape(-1))
+    if index.head_rows.dtype == jnp.int8:
+        # int8 scalar-quantized head (build.quantize_head): per-query and
+        # per-doc scales ride OUTPUT axes, so the contraction itself is a
+        # native int8×int8→int32 MXU matmul (half the HBM bytes of bf16,
+        # 2× the systolic rate).
+        return int8_head_matmul(W, index.head_rows) * index.head_scale[None, :]
     # match the rows' dtype so the contraction is a native MXU matmul
     # (BM25 unit weights are exact in bf16; idf weights round at ~4e-3,
     # the same order as the bf16 rows themselves)

@@ -54,12 +54,15 @@ class ShardedSparseIndex:
     postings_w: jnp.ndarray      # (S, nnz_pad) float32
     postings_tf: jnp.ndarray     # (S, nnz_pad) float32
     head_slot: jnp.ndarray       # (V,) int32 — shared
-    head_rows: jnp.ndarray       # (S, D, N_loc_pad) float32
+    head_rows: jnp.ndarray       # (S, D, N_loc_pad) float32/bf16 or int8
     df_local: jnp.ndarray        # (S, V) float32
     idf: jnp.ndarray             # (V,) float32 — global
     doc_len: jnp.ndarray         # (S, N_loc_pad) float32
     avgdl: jnp.ndarray           # () float32 — global
     n_valid: jnp.ndarray         # (S,) int32 — docs per shard
+    # per-doc-column dequantization scales for int8 heads (None otherwise);
+    # each shard scores its local docs, so scales shard with the doc axis
+    head_scale: Optional[jnp.ndarray] = None  # (S, N_loc_pad) float32
 
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -181,6 +184,8 @@ def build_sharded_index(
         postings_tf=stack(lambda sh: sh.postings_tf),
         head_slot=shards[0].head_slot,
         head_rows=stack(lambda sh: sh.head_rows),
+        head_scale=(None if shards[0].head_scale is None
+                    else stack(lambda sh: sh.head_scale)),
         df_local=stack(lambda sh: sh.stats.df),
         idf=shards[0].stats.idf,
         doc_len=stack(lambda sh: sh.stats.doc_len),
@@ -213,8 +218,9 @@ def sharded_score_topk(
     k_local = min(top_k, sindex.n_docs_pad_local)
     n_loc_pad = sindex.n_docs_pad_local
 
-    def local_fn(indptr, pdoc, pw, ptf, head_rows, df_local, doc_len,
+    def local_fn(indptr, pdoc, pw, ptf, head_pack, df_local, doc_len,
                  n_valid, head_slot, idf, avgdl, qids, qw):
+        head_rows, hs = head_pack
         # queries are replicated; cast them device-varying so they can mix
         # with the shard-varying index inside lax.scan carries
         qids = jax.lax.pcast(qids, "data", to="varying")
@@ -226,6 +232,7 @@ def sharded_score_topk(
             indptr=indptr[0], postings_doc=pdoc[0], postings_w=pw[0],
             postings_tf=ptf[0], head_slot=head_slot, head_rows=head_rows[0],
             stats=stats,
+            head_scale=None if hs is None else hs[0],
             n_docs=n_loc_pad, n_docs_pad=n_loc_pad,
             vocab_size=sindex.vocab_size, tail_pmax=sindex.tail_pmax,
             head_size=sindex.head_size,
@@ -260,9 +267,9 @@ def sharded_score_topk(
         check_vma=False,
     )(
         sindex.indptr, sindex.postings_doc, sindex.postings_w,
-        sindex.postings_tf, sindex.head_rows, sindex.df_local,
-        sindex.doc_len, sindex.n_valid, sindex.head_slot, sindex.idf,
-        sindex.avgdl, qids, qw,
+        sindex.postings_tf, (sindex.head_rows, sindex.head_scale),
+        sindex.df_local, sindex.doc_len, sindex.n_valid, sindex.head_slot,
+        sindex.idf, sindex.avgdl, qids, qw,
     )
 
     # merge: (S, Q, k_local) → (Q, S·k_local) → top-k

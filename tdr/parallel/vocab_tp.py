@@ -40,7 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tdr.index.build import SparseIndex, _round_up
-from tdr.ops.score import NEG_INF
+from tdr.ops.score import NEG_INF, int8_head_matmul
 from tdr.ops.topk import fast_topk
 
 
@@ -51,6 +51,11 @@ class VocabShardedIndex:
 
     head_rows: jnp.ndarray       # (S, D_loc, N_pad) — slot-axis shards
     head_slot: jnp.ndarray       # (V,) int32, global slot ids (replicated)
+    # int8-quantized heads: per-doc-column scale, split along the doc axis
+    # to match psum_scatter's tiling (device i dequantizes its own slice
+    # AFTER the collective — the per-column factor distributes over the
+    # device sum, and the partials travel as exact-integer-valued f32)
+    head_scale: "jnp.ndarray | None" = None   # (S, N_pad // S) float32
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_docs_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     vocab_size: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -73,11 +78,16 @@ def vocab_shard_index(index: SparseIndex, n_shards: int) -> VocabShardedIndex:
     d_loc = _round_up(-(-D // n_shards), 8)
     n_pad = _round_up(-(-N // n_shards), 128) * n_shards
     rows = index.head_rows
+    scale = index.head_scale
     if d_loc * n_shards != D or n_pad != N:
         rows = jnp.pad(rows, ((0, d_loc * n_shards - D), (0, n_pad - N)))
+        if scale is not None:
+            scale = jnp.pad(scale, (0, n_pad - N))
     return VocabShardedIndex(
         head_rows=rows.reshape(n_shards, d_loc, n_pad),
         head_slot=index.head_slot,
+        head_scale=(None if scale is None
+                    else scale.reshape(n_shards, n_pad // n_shards)),
         n_docs=index.n_docs,
         n_docs_pad=n_pad,
         vocab_size=index.vocab_size,
@@ -108,8 +118,9 @@ def vocab_tp_score_topk(
     Q, T = qids.shape
     k_local = min(top_k, n_loc)
 
-    def local_fn(head_rows, head_slot, qids, qw):
-        rows = head_rows[0]                                # (d_loc, N)
+    def local_fn(head_pack, head_slot, qids, qw):
+        rows, hs = head_pack
+        rows = rows[0]                                     # (d_loc, N)
         me = jax.lax.axis_index(axis)
         slot = head_slot[jnp.clip(qids, 0, vindex.vocab_size - 1)]
         local_slot = slot - me * d_loc
@@ -119,13 +130,22 @@ def vocab_tp_score_topk(
             q_idx.reshape(-1),
             jnp.where(active, local_slot, 0).reshape(-1),
         ].add(jnp.where(active, qw, 0.0).reshape(-1))
-        W = W.astype(rows.dtype)                           # native MXU matmul
-        part = jnp.einsum("qd,dn->qn", W, rows,
-                          preferred_element_type=jnp.float32)  # (Q, N) partial
+        if rows.dtype == jnp.int8:
+            # int8 head: the partial contraction runs int8×int8→int32 on
+            # the MXU; the per-doc-column dequantization scale distributes
+            # over the device sum, so it is applied AFTER psum_scatter to
+            # the local doc slice only
+            part = int8_head_matmul(W, rows)               # (Q, N) partial
+        else:
+            W = W.astype(rows.dtype)                       # native MXU matmul
+            part = jnp.einsum("qd,dn->qn", W, rows,
+                              preferred_element_type=jnp.float32)
         # sum partials AND shard the doc axis in one collective: each device
         # ends with the fully-summed (Q, n_loc) slice of the score matrix
         scores = jax.lax.psum_scatter(part, axis, scatter_dimension=1,
                                       tiled=True)          # (Q, n_loc)
+        if hs is not None:
+            scores = scores * hs[0][None, :]
         # mask padded/invalid docs in GLOBAL coordinates
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_loc), 1) + me * n_loc
         scores = jnp.where(col < vindex.n_docs, scores, NEG_INF)
@@ -140,7 +160,7 @@ def vocab_tp_score_topk(
         in_specs=(P(axis), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(vindex.head_rows, vindex.head_slot, qids, qw)
+    )((vindex.head_rows, vindex.head_scale), vindex.head_slot, qids, qw)
 
     vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(Q, S * k_local)
     rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(Q, S * k_local)

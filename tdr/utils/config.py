@@ -68,7 +68,11 @@ class IndexConfig:
     # bench TDR_HEAD_BUDGET).
     # dense head rows dtype: "bfloat16" halves HBM traffic of the dominant
     # head-row gathers (CSR weights stay float32); use "float32" when
-    # bitwise score parity with the f64 formulas matters more than speed
+    # bitwise score parity with the f64 formulas matters more than speed.
+    # "int8" scalar-quantizes the head per document column (the FAISS SQ8
+    # analogue): halves HBM traffic AGAIN vs bf16 and doubles MXU rate
+    # (int8 systolic path) at ~0.4% per-entry score rounding — the tail and
+    # the top-2k merge stay exact (see tdr.ops.score._head_scores_matmul).
     head_dtype: str = "bfloat16"
     doc_pad_multiple: int = 128   # pad doc axis to lane multiples
     nnz_pad_multiple: int = 1024  # pad CSR nnz to static shapes
