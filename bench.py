@@ -437,6 +437,24 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
         "dense_timing_reps": n_rep,
     }
 
+    # int8 (SQ8) flat A/B: int8×int8→int32 MXU matmul, per-query × per-doc
+    # dequantization on the output (FAISS IndexScalarQuantizer analogue)
+    flat8 = build_flat_index(emb, dtype="int8")
+    dt_8 = timed(lambda q: flat_search(flat8, q, 10))
+    dt_8ap = timed(lambda q: flat_search(flat8, q, 10, approx=True))
+    _, r_8 = flat_search(flat8, qs[0], 10)
+    r_8 = np.asarray(r_8)
+    overlap8 = float(np.mean([len(set(r_ex[i]) & set(r_8[i])) / 10.0
+                              for i in range(batch)]))
+    out.update({
+        "dense_flat_int8_qps": round(batch / dt_8, 1),
+        "dense_flat_int8_ms_per_batch": round(dt_8 * 1e3, 2),
+        "dense_flat_int8_top10_overlap": round(overlap8, 4),
+        "dense_flat_int8_approx_qps": round(batch / dt_8ap, 1),
+        "dense_flat_int8_approx_ms_per_batch": round(dt_8ap * 1e3, 2),
+    })
+    del flat8
+
     ivf = build_ivf_index(emb, nlist=512)
     dt_ivf = timed(lambda q: ivf_search(ivf, q, 10, nprobe=16))
     out["dense_ivf_qps_nprobe16"] = round(batch / dt_ivf, 1)

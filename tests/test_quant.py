@@ -214,3 +214,27 @@ def test_pallas_head_refuses_int8(world):
     assert not pallas_head_available(q)
     with pytest.raises(NotImplementedError):
         head_scores_pallas(q, qids, qw)
+
+
+def test_dense_flat_int8_sq8():
+    """Dense SQ8 (FAISS IndexScalarQuantizer analogue): int8 flat search
+    matches bf16 flat search on both metrics within quantization noise."""
+    from tdr.models.dense import build_flat_index, flat_search
+
+    rng = np.random.RandomState(3)
+    emb = rng.randn(500, 64).astype(np.float32)
+    emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb_n[rng.randint(0, 500, 32)] + 0.05 * rng.randn(32, 64).astype(np.float32)
+
+    for metric, base in (("ip", emb_n), ("l2", emb)):
+        fb = build_flat_index(base, metric=metric)
+        f8 = build_flat_index(base, metric=metric, dtype="int8")
+        assert f8.embeddings.dtype == jnp.int8 and f8.doc_scale is not None
+        vb, rb = flat_search(fb, jnp.asarray(q), top_k=10)
+        v8, r8 = flat_search(f8, jnp.asarray(q), top_k=10)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(rb), np.asarray(r8))])
+        assert overlap >= 0.9, (metric, overlap)
+        # rank-1 (the near-duplicate seed doc) must agree
+        assert (np.asarray(rb)[:, 0] == np.asarray(r8)[:, 0]).mean() >= 0.95
