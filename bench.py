@@ -539,6 +539,32 @@ def main() -> None:
                                      queries.langs, ks=(1, 5, 10))
     log.info("eval report: %s", eval_report)
 
+    # spell-correction A/B (tdr.text.spell trigram OOV repair, opt-in on
+    # the model): one extra full pass with repairs on — recall delta and
+    # the host cost are reported; the headline keeps the reference-parity
+    # drop-unknown-terms pipeline
+    spell = {}
+    if os.environ.get("TDR_BENCH_SPELL", "1") == "1":
+        import dataclasses as _dc
+
+        router_sc = LanguageRouter(
+            {l: _dc.replace(m, spell_correct=True) for l, m in models.items()},
+            query_batch=256)
+        t0 = time.perf_counter()
+        res_sc = router_sc.retrieve(queries.queries, queries.langs, k=10)
+        spell_cold = time.perf_counter() - t0   # includes repairer builds
+        t0 = time.perf_counter()
+        res_sc = router_sc.retrieve(queries.queries, queries.langs, k=10)
+        spell_warm = time.perf_counter() - t0
+        spell = {
+            "spell_recall_at_10": round(
+                recall_at_k(res_sc, queries.positive_docs, 10), 4),
+            "spell_retrieve_sec_warm": round(spell_warm, 2),
+            "spell_repairer_build_sec": round(spell_cold - spell_warm, 1),
+        }
+        log.info("spell-correct A/B: %s (baseline recall %0.4f)", spell, recall)
+        del router_sc, res_sc
+
     # roofline on the largest partition
     biggest = max(models, key=lambda l: models[l].index.n_docs)
     roofline = _kernel_roofline(models[biggest], batch=256, peak_gbps=peak_gbps)
@@ -574,6 +600,7 @@ def main() -> None:
             "index_build_sec": round(build_s, 1),
             "retrieve_sec": round(elapsed, 2),
             "kernel_roofline_en": roofline,
+            "spell_correction": spell,
             "serving_latency": latency,
             "dense_search": dense,
             "cascades": cascade,

@@ -46,6 +46,30 @@ class SparseModel:
     # trade for the sparse engine; tail contributions and the merge stay
     # exact either way).  Keep "exact" when results must be bit-stable.
     topk_mode: str = "exact"
+    # host-side OOV query-term repair by trigram vocabulary matching
+    # (tdr.text.spell) — lifts typo'd-query recall; off by default so the
+    # default pipeline matches the reference's drop-unknown-terms behavior
+    spell_correct: bool = False
+
+    def _repairer(self):
+        """Lazily-built trigram repairer over this partition's unigram
+        vocabulary (memoized on the instance; ~1 s one-time for a 500k-term
+        bigram-inflated vocab, then dict-probe cheap per token)."""
+        rep = getattr(self, "_repairer_cache", None)
+        if rep is None:
+            from tdr.text.spell import TrigramRepairer
+
+            terms = [""] * len(self.vocab.term_to_id)
+            idx = {}
+            for j, (t, i) in enumerate(self.vocab.term_to_id.items()):
+                terms[j] = t
+                idx[j] = i
+            df = np.asarray(
+                [self.vocab.df[idx[j]] if idx[j] < len(self.vocab.df) else 1.0
+                 for j in range(len(terms))], np.float32)
+            rep = TrigramRepairer(terms, df)
+            object.__setattr__(self, "_repairer_cache", rep)
+        return rep
 
     def _resolved_tail_engine(self) -> str:
         if self.tail_engine == "auto":
@@ -62,6 +86,9 @@ class SparseModel:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Host-side query encoding (no device transfer) — callers that
         batch many chunks upload all encodings in one device_put."""
+        if self.spell_correct:
+            token_lists = self._repairer().repair_token_lists(
+                token_lists, self.vocab.term_to_id)
         qids, qw = encode_queries(token_lists, self.vocab, self.max_query_terms)
         if self.query_weight == "idf":
             # cosine query vector = idf per present term
