@@ -53,6 +53,15 @@ def _cmd_build(args) -> int:
     return 0
 
 
+def _apply_spell(models, args):
+    """Opt-in trigram OOV repair (tdr.text.spell) on every loaded model."""
+    if not getattr(args, "spell_correct", False):
+        return models
+    import dataclasses as _dc
+
+    return {l: _dc.replace(m, spell_correct=True) for l, m in models.items()}
+
+
 def _cmd_retrieve(args) -> int:
     from tdr.ckpt import load_registry
     from tdr.data import load_queries
@@ -60,7 +69,7 @@ def _cmd_retrieve(args) -> int:
     from tdr.rank import LanguageRouter
     from tdr.utils.trace import log
 
-    models = load_registry(args.index)
+    models = _apply_spell(load_registry(args.index), args)
     queries = load_queries(args.queries)
     router = LanguageRouter(models, query_batch=args.batch)
     results = router.retrieve(queries.queries, queries.langs, k=args.k)
@@ -92,7 +101,7 @@ def _cmd_serve(args) -> int:
     from tdr.rank import LanguageRouter
     from tdr.utils.trace import log
 
-    models = load_registry(args.index)
+    models = _apply_spell(load_registry(args.index), args)
     router = LanguageRouter(models, query_batch=args.batch)
     # warm the padded-batch compile for EVERY language before accepting
     # traffic (a first request routed to a cold language would otherwise
@@ -219,7 +228,7 @@ def _cmd_eval(args) -> int:
     from tdr.eval import evaluate_retrieval
     from tdr.rank import LanguageRouter
 
-    models = load_registry(args.index)
+    models = _apply_spell(load_registry(args.index), args)
     queries = load_queries(args.queries)
     if not queries.positive_docs:
         print("error: query file has no positive_docs column", file=sys.stderr)
@@ -389,6 +398,8 @@ def main(argv=None) -> int:
     r.add_argument("--out", default="submission.csv")
     r.add_argument("--k", type=int, default=10)
     r.add_argument("--batch", type=int, default=256)
+    r.add_argument("--spell-correct", action="store_true",
+                   help="repair out-of-vocabulary query terms by trigram vocabulary matching (tdr.text.spell) before scoring")
     r.set_defaults(fn=_cmd_retrieve)
 
     e = sub.add_parser("eval", help="recall@k / mrr@k report on labeled queries")
@@ -396,6 +407,8 @@ def main(argv=None) -> int:
     e.add_argument("--queries", required=True)
     e.add_argument("--k", type=int, default=10)
     e.add_argument("--batch", type=int, default=256)
+    e.add_argument("--spell-correct", action="store_true",
+                   help="repair out-of-vocabulary query terms by trigram vocabulary matching (tdr.text.spell) before scoring")
     e.set_defaults(fn=_cmd_eval)
 
     c = sub.add_parser("cascade", help="cosine candidates -> BM25 re-rank")
@@ -436,6 +449,9 @@ def main(argv=None) -> int:
     sv.add_argument("--window-ms", type=float, default=5.0, dest="window_ms",
                     help="coalescing window: requests arriving within this "
                          "many ms share one device batch")
+    sv.add_argument("--spell-correct", action="store_true",
+                    help="repair out-of-vocabulary query terms by trigram "
+                         "vocabulary matching (tdr.text.spell) before scoring")
     sv.set_defaults(fn=_cmd_serve)
 
     v = sub.add_parser("validate", help="validate a submission csv")
