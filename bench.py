@@ -565,6 +565,42 @@ def main() -> None:
         log.info("spell-correct A/B: %s (baseline recall %0.4f)", spell, recall)
         del router_sc, res_sc
 
+    # end-to-end FAST profile: int8 scalar-quantized heads + approx_max_k
+    # head selection on every model (the two config knobs stacked), same
+    # queries — reported with ITS OWN recall next to the exact headline
+    fast = {}
+    if os.environ.get("TDR_BENCH_FAST", "1") == "1":
+        import dataclasses as _dc
+
+        from tdr.index import quantize_head
+
+        models_fast = {
+            l: _dc.replace(m, index=quantize_head(m.index),
+                           topk_mode="approx")
+            for l, m in models.items()}
+        router_fast = LanguageRouter(models_fast, query_batch=256)
+        for l in sorted(set(queries.langs)):
+            i = queries.langs.index(l)
+            router_fast.retrieve([queries.queries[i]], [l], k=10)
+        router_fast.retrieve(queries.queries, queries.langs, k=10)
+        fast_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_fast = router_fast.retrieve(queries.queries, queries.langs,
+                                            k=10)
+            jax.block_until_ready(jax.numpy.zeros(()))
+            fast_times.append(time.perf_counter() - t0)
+        fast_times.sort()
+        fast = {
+            "fast_profile": "int8 head + approx_max_k selection",
+            "fast_qps": round(n_queries / fast_times[1], 1),
+            "fast_retrieve_sec": round(fast_times[1], 3),
+            "fast_recall_at_10": round(
+                recall_at_k(res_fast, queries.positive_docs, 10), 4),
+        }
+        log.info("fast profile: %s", fast)
+        del router_fast, models_fast, res_fast
+
     # roofline on the largest partition
     biggest = max(models, key=lambda l: models[l].index.n_docs)
     roofline = _kernel_roofline(models[biggest], batch=256, peak_gbps=peak_gbps)
@@ -600,6 +636,7 @@ def main() -> None:
             "index_build_sec": round(build_s, 1),
             "retrieve_sec": round(elapsed, 2),
             "kernel_roofline_en": roofline,
+            "fast_profile": fast,
             "spell_correction": spell,
             "serving_latency": latency,
             "dense_search": dense,
