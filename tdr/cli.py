@@ -367,6 +367,13 @@ def main(argv=None) -> int:
     from tdr.utils.jax_cache import enable as _enable_jax_cache
 
     _enable_jax_cache()   # every static shape is a one-time compile cost
+    # honor an explicit JAX_PLATFORMS (the axon sitecustomize overrides the
+    # env var, so `JAX_PLATFORMS=cpu tdr serve` would otherwise still grab
+    # — or hang on — the TPU tunnel; bench.py re-asserts the same way)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     p = argparse.ArgumentParser(prog="tdr", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -84,6 +84,28 @@ def test_gather_pending_bit_exact():
         assert np.array_equal(r[i], np.asarray(rows_list[i]))
 
 
+def test_gather_pending_pow2_padding():
+    """The jitted pack pads the pending list to a power of two (bounds the
+    compile count); results must stay bit-exact and correctly truncated at
+    every awkward arity."""
+    import jax.numpy as jnp
+
+    from tdr.rank.router import _gather_pending
+
+    rng = np.random.RandomState(1)
+    for n in (1, 2, 3, 5, 7, 9, 13):
+        vals_list = [jnp.asarray(rng.rand(8, 4).astype(np.float32))
+                     for _ in range(n)]
+        rows_list = [jnp.asarray(
+            rng.randint(0, 1 << 22, (8, 4)).astype(np.int32))
+            for _ in range(n)]
+        v, r = _gather_pending(vals_list, rows_list)
+        assert v.shape == (n, 8, 4) and r.shape == (n, 8, 4)
+        for i in range(n):
+            assert np.array_equal(v[i], np.asarray(vals_list[i]))
+            assert np.array_equal(r[i], np.asarray(rows_list[i]))
+
+
 class TestWaterfillBudget:
     """Budget conservation for the head waterfill (VERDICT r2 weak #6):
     the 64 MiB floor must come OUT of the total, never on top of it."""
