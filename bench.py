@@ -505,8 +505,8 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     log.info("index build (host preprocess + device build): %.1fs", build_s)
 
-    router = LanguageRouter(
-        models, query_batch=int(os.environ.get("TDR_QUERY_BATCH", 256)))
+    query_batch = int(os.environ.get("TDR_QUERY_BATCH", 256))
+    router = LanguageRouter(models, query_batch=query_batch)
 
     # warmup: one padded batch per language compiles the single query
     # shape, then one FULL pass compiles the result-gather stack (its
@@ -549,7 +549,7 @@ def main() -> None:
 
         router_sc = LanguageRouter(
             {l: _dc.replace(m, spell_correct=True) for l, m in models.items()},
-            query_batch=256)
+            query_batch=query_batch)
         t0 = time.perf_counter()
         res_sc = router_sc.retrieve(queries.queries, queries.langs, k=10)
         spell_cold = time.perf_counter() - t0   # includes repairer builds
@@ -578,7 +578,7 @@ def main() -> None:
             l: _dc.replace(m, index=quantize_head(m.index),
                            topk_mode="approx")
             for l, m in models.items()}
-        router_fast = LanguageRouter(models_fast, query_batch=256)
+        router_fast = LanguageRouter(models_fast, query_batch=query_batch)
         for l in sorted(set(queries.langs)):
             i = queries.langs.index(l)
             router_fast.retrieve([queries.queries[i]], [l], k=10)

@@ -32,7 +32,11 @@ from tdr.index.build import IndexStats, SparseIndex
 from tdr.models.sparse import BM25Model, SparseModel, TfidfCosineModel
 from tdr.text.vocab import Vocab
 
-FORMAT_VERSION = 1
+# 1 = original layout; 2 = int8-quantized arrays present (head_scale /
+# doc_scale) — older readers would silently mis-rank a quantized index
+# (int8 rows without the dequantization scale), so quantized artifacts
+# stamp 2 to make them refuse instead
+FORMAT_VERSION = 2
 
 _MODEL_TYPES = {"BM25Model": BM25Model, "TfidfCosineModel": TfidfCosineModel}
 
@@ -87,7 +91,7 @@ def save_sparse_model(path: str, model: SparseModel) -> None:
         f.write("\n".join(model.docids))
 
     meta = {
-        "format_version": FORMAT_VERSION,
+        "format_version": 2 if model.index.head_scale is not None else 1,
         "model_type": type(model).__name__,
         "lang": model.lang,
         "max_query_terms": model.max_query_terms,
@@ -105,6 +109,10 @@ def save_sparse_model(path: str, model: SparseModel) -> None:
 def load_sparse_model(path: str) -> SparseModel:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("format_version", 1) > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {meta['format_version']} is newer than "
+            f"this build ({FORMAT_VERSION})")
     data = np.load(os.path.join(path, "arrays.npz"))
     dtypes = meta["dtypes"]
 
@@ -154,7 +162,8 @@ def save_registry(path: str, models: Dict[str, SparseModel],
     for lang, model in models.items():
         save_sparse_model(os.path.join(path, lang), model)
     manifest = {
-        "format_version": FORMAT_VERSION,
+        "format_version": (2 if any(m.index.head_scale is not None
+                                    for m in models.values()) else 1),
         "languages": sorted(models),
         "extra": extra_meta or {},
     }
@@ -212,7 +221,7 @@ def save_sharded_index(path: str, sindex) -> None:
             dtypes[name] = dt
         np.savez(os.path.join(path, f"shard_{s:04d}.npz"), **arrays)
     meta = {
-        "format_version": FORMAT_VERSION,
+        "format_version": 2 if sindex.head_scale is not None else 1,
         "statics": {k: int(getattr(sindex, k)) for k in _SHARDED_STATICS},
         "dtypes": dtypes,
     }
@@ -225,6 +234,10 @@ def load_sharded_index(path: str):
 
     with open(os.path.join(path, "manifest.json")) as f:
         meta = json.load(f)
+    if meta.get("format_version", 1) > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {meta['format_version']} is newer than "
+            f"this build ({FORMAT_VERSION})")
     dtypes = meta["dtypes"]
     shared = np.load(os.path.join(path, "shared.npz"))
     kw = {name: _from_numpy_saved(shared[name], dtypes[name])
@@ -301,7 +314,13 @@ def save_dense_model(path: str, dense) -> None:
         arrays[f"p{i}"], dtypes[f"p{i}"] = _to_numpy_savable(leaf)
     np.savez(os.path.join(path, "params.npz"), **arrays)
     emb, emb_dt = _to_numpy_savable(dense.flat.embeddings)
-    np.savez(os.path.join(path, "index.npz"), embeddings=emb)
+    idx_arrays = {"embeddings": emb}
+    # optional FlatIndex sidecars: SQ8 per-doc scales, L2 squared norms
+    if dense.flat.doc_scale is not None:
+        idx_arrays["doc_scale"] = np.asarray(dense.flat.doc_scale)
+    if dense.flat.doc_sq is not None:
+        idx_arrays["doc_sq"] = np.asarray(dense.flat.doc_sq)
+    np.savez(os.path.join(path, "index.npz"), **idx_arrays)
     with open(os.path.join(path, "docids.txt"), "w") as f:
         f.write("\n".join(dense.docids))
     meta = {
@@ -310,6 +329,7 @@ def save_dense_model(path: str, dense) -> None:
         "dtypes": dtypes,
         "emb_dtype": emb_dt,
         "n_docs": dense.flat.n_docs,
+        "metric": dense.flat.metric,
         "cfg": dataclasses.asdict(dense.cfg),
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -333,7 +353,12 @@ def load_dense_model(path: str):
     idx_data = np.load(os.path.join(path, "index.npz"))
     flat_index = FlatIndex(
         embeddings=_from_numpy_saved(idx_data["embeddings"], meta["emb_dtype"]),
-        n_docs=meta["n_docs"])
+        doc_scale=(jnp.asarray(idx_data["doc_scale"])
+                   if "doc_scale" in idx_data else None),
+        doc_sq=(jnp.asarray(idx_data["doc_sq"])
+                if "doc_sq" in idx_data else None),
+        n_docs=meta["n_docs"],
+        metric=meta.get("metric", "ip"))
     with open(os.path.join(path, "docids.txt")) as f:
         docids = f.read().splitlines()
     return DenseModel(model=model, params=params, cfg=cfg, docids=docids,

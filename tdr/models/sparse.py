@@ -52,23 +52,25 @@ class SparseModel:
     spell_correct: bool = False
 
     def _repairer(self):
-        """Lazily-built trigram repairer over this partition's unigram
-        vocabulary (memoized on the instance; ~1 s one-time for a 500k-term
-        bigram-inflated vocab, then dict-probe cheap per token)."""
+        """Lazily-built trigram repairer over this partition's UNIGRAM
+        vocabulary (memoized on the instance).  Bigram "a_b" terms —
+        materialized in term_to_id by the Python pipeline's bigram
+        augmentation — are excluded: a typo'd unigram must never be
+        "repaired" into a phrase term (the query side skips '_' tokens for
+        the same reason), and dropping them cuts the repairer build by the
+        bigram-dominated share of the vocab."""
         rep = getattr(self, "_repairer_cache", None)
         if rep is None:
             from tdr.text.spell import TrigramRepairer
 
-            terms = [""] * len(self.vocab.term_to_id)
-            idx = {}
-            for j, (t, i) in enumerate(self.vocab.term_to_id.items()):
-                terms[j] = t
-                idx[j] = i
-            df = np.asarray(
-                [self.vocab.df[idx[j]] if idx[j] < len(self.vocab.df) else 1.0
-                 for j in range(len(terms))], np.float32)
-            rep = TrigramRepairer(terms, df)
-            object.__setattr__(self, "_repairer_cache", rep)
+            df_all = np.asarray(self.vocab.df, np.float32)
+            terms, dfs = [], []
+            for t, i in self.vocab.term_to_id.items():
+                if "_" not in t:
+                    terms.append(t)
+                    dfs.append(df_all[i] if i < df_all.shape[0] else 1.0)
+            rep = TrigramRepairer(terms, np.asarray(dfs, np.float32))
+            self._repairer_cache = rep
         return rep
 
     def _resolved_tail_engine(self) -> str:

@@ -31,6 +31,9 @@ import numpy as np
 # against short-token false positives)
 MIN_JACCARD = 0.34
 MAX_LEN_DELTA = 2
+# memo bound: long-running serve processes see unbounded distinct OOV
+# tokens (typo traffic is heavy-tailed); evict the oldest half at the cap
+MEMO_CAP = 65536
 
 
 def _trigrams(term: str) -> List[str]:
@@ -97,6 +100,10 @@ class TrigramRepairer:
                     # case)
                     cands = rows[best]
                     out = self.terms[int(cands[np.argmax(self.df[cands])])]
+        if len(self._memo) >= MEMO_CAP:
+            # dicts iterate in insertion order: drop the oldest half
+            for k in list(self._memo)[: MEMO_CAP // 2]:
+                del self._memo[k]
         self._memo[token] = out
         return out
 

@@ -101,6 +101,42 @@ class TestDenseRoundtrip:
         r2 = loaded.retrieve(queries.queries[:5], k=5)
         assert r1 == r2
 
+    def test_flat_index_sidecars_roundtrip(self, tmp_path, world):
+        """int8 (SQ8) doc_scale and L2 doc_sq/metric must survive the
+        dense checkpoint (they were silently dropped before — an int8
+        index reloaded with doc_scale=None crashed at search time)."""
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from tdr.models.dense import (DenseModel, build_flat_index,
+                                      flat_search)
+        from tdr.train import create_train_state
+        from tdr.utils.config import DenseConfig
+
+        corpus, queries = world
+        cfg = DenseConfig(vocab_size=1000, dim=32, depth=1, heads=2, max_len=16)
+        model, state, _ = create_train_state(cfg)
+        dm = DenseModel.build(model, state.params, cfg,
+                              corpus.texts[:50], corpus.docids[:50], batch=32)
+        rng = np.random.RandomState(0)
+        emb = rng.randn(50, 32).astype(np.float32)
+        for metric, dtype in (("ip", "int8"), ("l2", "bfloat16"),
+                              ("l2", "int8")):
+            flat = build_flat_index(emb, metric=metric, dtype=dtype)
+            dm2 = _dc.replace(dm, flat=flat)
+            path = str(tmp_path / f"dense_{metric}_{dtype}")
+            save_dense_model(path, dm2)
+            loaded = load_dense_model(path)
+            assert loaded.flat.metric == metric
+            assert str(loaded.flat.embeddings.dtype) == (
+                "int8" if dtype == "int8" else "bfloat16")
+            q = jnp.asarray(emb[:4])
+            v1, r1 = flat_search(dm2.flat, q, top_k=5)
+            v2, r2 = flat_search(loaded.flat, q, top_k=5)
+            assert np.array_equal(np.asarray(r1), np.asarray(r2))
+            assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
 
 class TestCli:
     def test_synth_build_eval_retrieve_validate(self, tmp_path):

@@ -238,3 +238,37 @@ def test_dense_flat_int8_sq8():
         assert overlap >= 0.9, (metric, overlap)
         # rank-1 (the near-duplicate seed doc) must agree
         assert (np.asarray(rb)[:, 0] == np.asarray(r8)[:, 0]).mean() >= 0.95
+
+
+def test_int8_ckpt_version_gate(tmp_path):
+    """Quantized checkpoints stamp format_version 2 so pre-int8 readers
+    (which would silently mis-rank int8 rows without the scale) refuse;
+    and a newer-than-this-build version raises here too."""
+    import json
+    import os
+
+    import pytest
+
+    from tdr.ckpt import load_sparse_model, save_sparse_model
+    from tdr.models import BM25Model
+    from tdr.utils.config import IndexConfig
+
+    rng = np.random.RandomState(2)
+    docs = [[f"t{rng.randint(100)}" for _ in range(10)] for _ in range(60)]
+    m8 = BM25Model.build(docs, [f"d{i}" for i in range(60)], lang="en",
+                         index_cfg=IndexConfig(**PAD, head_dtype="int8"))
+    p8 = str(tmp_path / "q8")
+    save_sparse_model(p8, m8)
+    meta = json.load(open(os.path.join(p8, "meta.json")))
+    assert meta["format_version"] == 2
+    mb = BM25Model.build(docs, [f"d{i}" for i in range(60)], lang="en",
+                         index_cfg=IndexConfig(**PAD))
+    pb = str(tmp_path / "bf16")
+    save_sparse_model(pb, mb)
+    meta_b = json.load(open(os.path.join(pb, "meta.json")))
+    assert meta_b["format_version"] == 1   # plain ckpts stay old-readable
+
+    meta["format_version"] = 99
+    json.dump(meta, open(os.path.join(p8, "meta.json"), "w"))
+    with pytest.raises(ValueError, match="newer than"):
+        load_sparse_model(p8)
