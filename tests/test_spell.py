@@ -93,3 +93,27 @@ def test_model_integration_recall_lift():
         LanguageRouter(sc).retrieve(queries.queries, queries.langs, k=10),
         queries.positive_docs, 10)
     assert got >= base - 0.005, (got, base)
+
+
+class TestNonLatinScripts:
+    """Trigram repair operates on unicode code points, so it must work for
+    Arabic and Korean vocabularies too (the ko tokenizer emits syllable
+    blocks; ar terms are normalized Arabic script)."""
+
+    def test_korean_typo(self):
+        vocab = ["검색엔진", "문서검색", "토큰화기", "언어모델"]
+        r = TrigramRepairer(vocab)
+        assert r.repair("검색엔son") is None  # mixed-garbage stays unrepaired
+        assert r.repair("검색엔진기") == "검색엔진"   # one extra syllable
+
+    def test_arabic_typo(self):
+        vocab = ["استرجاع", "الوثائق", "البحث", "النموذج"]
+        r = TrigramRepairer(vocab)
+        assert r.repair("استرجاء") == "استرجاع"    # last-letter substitution
+
+    def test_repair_preserves_exact_terms(self):
+        vocab = ["검색엔진", "استرجاع"]
+        r = TrigramRepairer(vocab)
+        known = {t: i for i, t in enumerate(vocab)}
+        out = r.repair_token_lists([["검색엔진", "استرجاع"]], known)
+        assert out == [["검색엔진", "استرجاع"]]
