@@ -6,7 +6,8 @@ from tdr.rank.sentence import (
     candidate_union,
 )
 from tdr.rank.single_index import SingleIndexRetriever
+from tdr.rank.segmented import SegmentedBM25
 
 __all__ = ["LanguageRouter", "build_language_models", "CascadeRetriever",
            "cascade_score_topk", "SentenceBM25", "SentenceLmCascade",
-           "candidate_union", "SingleIndexRetriever"]
+           "candidate_union", "SingleIndexRetriever", "SegmentedBM25"]

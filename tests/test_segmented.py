@@ -1,0 +1,137 @@
+"""Segmented live-update retrieval (tdr.rank.segmented) — document
+add/delete without a full rebuild, which the reference's frozen pickle
+pipeline cannot do at all (final_implementation.py:187-287 only loads)."""
+
+import numpy as np
+import pytest
+
+from tdr.rank.segmented import SegmentedBM25
+from tdr.utils.config import IndexConfig
+
+CFG = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64)
+
+
+def _docs(rng, n, vocab_n=300, tag=""):
+    toks = [[f"t{rng.randint(vocab_n)}" for _ in range(rng.randint(6, 30))]
+            for _ in range(n)]
+    ids = [f"{tag}d{i}" for i in range(n)]
+    # give each doc a unique signature term so queries are unambiguous
+    for i, t in enumerate(toks):
+        t.append(f"sig_{tag}{i}")
+    return toks, ids
+
+
+@pytest.fixture()
+def seg():
+    rng = np.random.RandomState(3)
+    toks, ids = _docs(rng, 120)
+    return SegmentedBM25.build(toks, ids, index_cfg=CFG), toks, ids, rng
+
+
+class TestAdd:
+    def test_added_docs_retrievable_immediately(self, seg):
+        s, toks, ids, rng = seg
+        new_toks, new_ids = _docs(rng, 10, tag="new")
+        s.add_documents(new_toks, new_ids)
+        for i in (0, 7):
+            got = s.retrieve_tokens([[f"sig_new{i}"]], k=3)[0]
+            assert got[0] == f"newd{i}"
+
+    def test_main_docs_still_retrievable(self, seg):
+        s, toks, ids, rng = seg
+        s.add_documents(*_docs(rng, 5, tag="new"))
+        got = s.retrieve_tokens([["sig_3"]], k=3)[0]
+        assert got[0] == "d3"
+
+    def test_incremental_adds_accumulate(self, seg):
+        s, toks, ids, rng = seg
+        s.add_documents(*_docs(rng, 3, tag="a"))
+        s.add_documents(*_docs(rng, 4, tag="b"))
+        assert s.retrieve_tokens([["sig_a1"]], k=1)[0] == ["ad1"]
+        assert s.retrieve_tokens([["sig_b2"]], k=1)[0] == ["bd2"]
+        assert s.n_docs == 120 + 7
+
+    def test_global_stats_keep_scores_comparable(self, seg):
+        """A term appearing in both segments: the same query must rank a
+        heavy-tf delta doc above a light-tf main doc (idf comparability —
+        delta idf is computed against COMBINED df/n_docs)."""
+        s, toks, ids, rng = seg
+        # main gets one doc with the shared term once; delta one with it 5x
+        s.add_documents([["shared"] * 5 + ["filler"]], ["heavy"])
+        sm = s.retrieve_tokens([["shared"]], k=5)[0]
+        assert sm[0] == "heavy"
+
+
+class TestDelete:
+    def test_deleted_doc_disappears(self, seg):
+        s, toks, ids, rng = seg
+        assert s.retrieve_tokens([["sig_5"]], k=1)[0] == ["d5"]
+        s.delete_documents(["d5"])
+        got = s.retrieve_tokens([["sig_5"]], k=3)[0]
+        assert "d5" not in got
+
+    def test_delete_from_delta(self, seg):
+        s, toks, ids, rng = seg
+        s.add_documents(*_docs(rng, 4, tag="x"))
+        s.delete_documents(["xd2"])
+        assert "xd2" not in s.retrieve_tokens([["sig_x2"]], k=3)[0]
+
+    def test_readd_revives(self, seg):
+        s, toks, ids, rng = seg
+        s.delete_documents(["zz1"])
+        s.add_documents([["alpha", "beta", "revive_sig"]], ["zz1"])
+        assert s.retrieve_tokens([["revive_sig"]], k=1)[0] == ["zz1"]
+
+
+class TestCompact:
+    def test_compact_requires_corpus(self, seg):
+        s, *_ = seg
+        with pytest.raises(NotImplementedError):
+            s.compact()
+
+    def test_compact_with_equals_fresh_build(self, seg):
+        s, toks, ids, rng = seg
+        new_toks, new_ids = _docs(rng, 6, tag="n")
+        s.add_documents(new_toks, new_ids)
+        s.delete_documents(["d0", "nd3"])
+        all_toks, all_ids = toks + new_toks, ids + new_ids
+        s.compact_with(all_toks, all_ids)
+        assert s.delta is None and not s._deleted
+        live = [i for i in all_ids if i not in ("d0", "nd3")]
+        assert s.docids == live
+        # fresh reference build over the live docs must agree
+        ref = SegmentedBM25.build(
+            [t for t, d in zip(all_toks, all_ids) if d not in ("d0", "nd3")],
+            live, index_cfg=CFG)
+        q = [["sig_n1"], ["sig_44"]]
+        assert s.retrieve_tokens(q, k=5) == ref.retrieve_tokens(q, k=5)
+
+    def test_compacted_drops_tombstones(self, seg):
+        s, toks, ids, rng = seg
+        s.delete_documents(["d7"])
+        s.compact_with(toks, ids)
+        assert "d7" not in s.docids
+        assert "d7" not in s.retrieve_tokens([["sig_7"]], k=3)[0]
+
+
+class TestRouterIntegration:
+    def test_mixed_router_serves_segmented_language(self, seg):
+        from tdr.data import synthetic_corpus, SyntheticSpec
+        from tdr.models import BM25Model
+        from tdr.rank import LanguageRouter
+        from tdr.text import preprocess_texts
+
+        s, toks, ids, rng = seg
+        corpus, queries = synthetic_corpus(SyntheticSpec(
+            n_docs=80, n_queries=10, seed=5, ref_proportions=False,
+            langs=("fr",)))
+        fr_toks = preprocess_texts(corpus.texts, corpus.langs)
+        fr = BM25Model.build(fr_toks, corpus.docids, lang="fr", index_cfg=CFG)
+        router = LanguageRouter({"en": s, "fr": fr}, query_batch=8,
+                                use_native=False)
+        s.add_documents([["zebra", "quagga", "okapi"]], ["live1"])
+        out = router.retrieve(["zebra quagga okapi"], ["en"], k=3)
+        assert out[0][0] == "live1"
+        # fr queries still work through the normal path
+        fr_out = router.retrieve(queries.queries[:3], queries.langs[:3], k=5)
+        assert all(len(r) > 0 for r in fr_out)
