@@ -102,14 +102,23 @@ def _cmd_serve(args) -> int:
     from tdr.utils.trace import log
 
     models = _apply_spell(load_registry(args.index), args)
+    if getattr(args, "mutable", False):
+        # live updates: wrap every language in a Lucene-style segmented
+        # model (tdr.rank.segmented) — adds/deletes apply between query
+        # batches, in request order
+        from tdr.rank import SegmentedBM25
+
+        models = {l: SegmentedBM25(main=m, lang=l)
+                  for l, m in models.items()}
     router = LanguageRouter(models, query_batch=args.batch)
     # warm the padded-batch compile for EVERY language before accepting
     # traffic (a first request routed to a cold language would otherwise
     # block on a jit compile mid-stream)
     for lang in sorted(models):
         router.retrieve(["warmup"], [lang], k=args.k)
-    log.info("serving %d models (batch %d, window %.0f ms); one JSON per line",
-             len(models), args.batch, args.window_ms)
+    log.info("serving %d models (batch %d, window %.0f ms%s); one JSON per line",
+             len(models), args.batch, args.window_ms,
+             ", mutable" if getattr(args, "mutable", False) else "")
 
     def emit(obj):
         sys.stdout.write(json.dumps(obj) + "\n")
@@ -124,6 +133,30 @@ def _cmd_serve(args) -> int:
         except json.JSONDecodeError as e:
             emit({"error": str(e)})
             return None
+        if isinstance(r, dict) and ("add" in r or "delete" in r):
+            if not getattr(args, "mutable", False):
+                emit({"error": "server is read-only (start with --mutable)"})
+                return None
+            if "add" in r:
+                a = r["add"]
+                if (not isinstance(a, dict)
+                        or not isinstance(a.get("docid"), str)
+                        or not isinstance(a.get("text"), str)
+                        or not isinstance(a.get("lang", ""), str)):
+                    emit({"error": "'add' needs string docid and text "
+                                   "(optional string lang)"})
+                    return None
+            else:
+                d = r["delete"]
+                if isinstance(d, str):
+                    r["delete"] = [d]
+                elif not (isinstance(d, list)
+                          and all(isinstance(x, str) for x in d)):
+                    emit({"error": "'delete' must be a docid string or a "
+                                   "list of docid strings"})
+                    return None
+            r["_op"] = "add" if "add" in r else "delete"
+            return r
         if not isinstance(r, dict) or not isinstance(r.get("query", ""), str):
             emit({"error": "request must be an object with a string 'query'"})
             return None
@@ -139,6 +172,27 @@ def _cmd_serve(args) -> int:
         # mid-stream (30-190 s on a remote compiler)
         r["k"] = min(k, args.k)
         return r
+
+    def apply_mutation(r):
+        """Add/delete between query batches (request order preserved —
+        callers flush the pending query buffer first)."""
+        if r["_op"] == "add":
+            a = r["add"]
+            lang = a.get("lang") or ""
+            if lang not in models:
+                from tdr.text.langid import detect_language
+
+                lang = detect_language(a["text"], default=router.default_lang)
+            if lang not in models:
+                lang = router.default_lang
+            toks = router.preprocessor(a["text"], lang)
+            models[lang].add_documents([toks], [a["docid"]])
+            emit({"added": a["docid"], "lang": lang})
+        else:
+            for m in models.values():
+                m.delete_documents(r["delete"])
+            emit({"deleted": r["delete"]})
+        sys.stdout.flush()
 
     def flush(buf):
         if not buf:
@@ -197,15 +251,26 @@ def _cmd_serve(args) -> int:
                 pending.extend(chunk)
 
     buf = []
+
+    def handle(line):
+        if not line.strip():
+            return
+        r = parse_request(line.strip())
+        if r is None:
+            return
+        if "_op" in r:
+            # mutations apply in request order: drain pending queries first
+            flush(buf)
+            apply_mutation(r)
+        else:
+            buf.append(r)
+
     while True:
         line = next_line(None)
         if line is None:
             flush(buf)
             return 0
-        if line.strip():
-            r = parse_request(line.strip())
-            if r is not None:
-                buf.append(r)
+        handle(line)
         # coalesce: requests already buffered or arriving within the window
         # share one padded device batch
         deadline = time.perf_counter() + args.window_ms / 1e3
@@ -213,10 +278,7 @@ def _cmd_serve(args) -> int:
             nxt = next_line(max(0.0, deadline - time.perf_counter()))
             if nxt is None:
                 break
-            if nxt.strip():
-                r = parse_request(nxt.strip())
-                if r is not None:
-                    buf.append(r)
+            handle(nxt)
         flush(buf)
         if eof and not pending:
             return 0
@@ -459,6 +521,11 @@ def main(argv=None) -> int:
     sv.add_argument("--spell-correct", action="store_true",
                     help="repair out-of-vocabulary query terms by trigram "
                          "vocabulary matching (tdr.text.spell) before scoring")
+    sv.add_argument("--mutable", action="store_true",
+                    help="accept live updates: {\"add\": {\"docid\", "
+                         "\"text\", \"lang\"?}} and {\"delete\": docid(s)} "
+                         "request lines (Lucene-style segments, "
+                         "tdr.rank.segmented); applied in request order")
     sv.set_defaults(fn=_cmd_serve)
 
     v = sub.add_parser("validate", help="validate a submission csv")

@@ -185,9 +185,14 @@ class SegmentedBM25:
         vals = np.take_along_axis(vals, order, axis=1)
         rows = np.take_along_axis(rows, order, axis=1)
         if self._deleted:
+            # pad rows carry the fused core's sentinel id (one past the
+            # padded doc range) with -inf scores — clip for the id lookup
+            # and let the finite mask exclude them
             all_ids = self.docids
+            safe = np.clip(rows, 0, len(all_ids) - 1)
             dead = np.vectorize(
-                lambda r: all_ids[r] in self._deleted, otypes=[bool])(rows)
+                lambda r: all_ids[r] in self._deleted,
+                otypes=[bool])(safe) & np.isfinite(vals)
             vals = np.where(dead, -np.inf, vals)
             order = np.argsort(-vals, axis=1, kind="stable")
             vals = np.take_along_axis(vals, order, axis=1)

@@ -325,3 +325,65 @@ def test_cli_serve_rejects_bad_requests_without_dying(tmp_path):
     assert sum("error" in r for r in out) == 5
     results = [r for r in out if "docids" in r]
     assert len(results) == 1 and len(results[0]["docids"]) <= 5
+
+
+def test_cli_serve_mutable_add_delete(tmp_path):
+    """--mutable: live adds are retrievable by the next query, deletes
+    disappear, mutations answer with ack lines, and a read-only server
+    refuses mutation requests."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=200, n_queries=4, seed=6, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    zebra_text = "zebra quagga okapi savanna grassland striped equid"
+    reqs = "\n".join([
+        _json.dumps({"query": "zebra quagga okapi", "lang": "en", "k": 5}),
+        _json.dumps({"add": {"docid": "live1", "text": zebra_text,
+                             "lang": "en"}}),
+        _json.dumps({"query": "zebra quagga okapi", "lang": "en", "k": 5}),
+        _json.dumps({"delete": "live1"}),
+        _json.dumps({"query": "zebra quagga okapi", "lang": "en", "k": 5}),
+    ]) + "\n"
+    p = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve", "--mutable",
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "8",
+         "--window-ms", "0"],
+        input=reqs.encode(), capture_output=True, timeout=570, env=env,
+        cwd=cwd)
+    assert p.returncode == 0, p.stderr.decode()[-800:]
+    out = [_json.loads(l) for l in p.stdout.decode().splitlines() if l.strip()]
+    acks = [r for r in out if "added" in r or "deleted" in r]
+    results = [r for r in out if "docids" in r]
+    assert [a.get("added", a.get("deleted")) for a in acks] == \
+        ["live1", ["live1"]]
+    assert len(results) == 3
+    assert "live1" not in results[0]["docids"]      # before the add
+    assert results[1]["docids"][0] == "live1"       # right after the add
+    assert "live1" not in results[2]["docids"]      # after the delete
+
+    # read-only server refuses mutations with an error line
+    p2 = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve",
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "8"],
+        input=(_json.dumps({"add": {"docid": "x", "text": "y"}}) + "\n"
+               ).encode(),
+        capture_output=True, timeout=570, env=env, cwd=cwd)
+    assert p2.returncode == 0, p2.stderr.decode()[-500:]
+    out2 = [_json.loads(l) for l in p2.stdout.decode().splitlines()
+            if l.strip()]
+    assert any("read-only" in r.get("error", "") for r in out2)
