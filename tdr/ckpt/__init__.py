@@ -7,6 +7,8 @@ from tdr.ckpt.registry import (
     load_dense_model,
     save_train_state,
     load_train_state,
+    save_segmented,
+    load_segmented,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "load_dense_model",
     "save_train_state",
     "load_train_state",
+    "save_segmented",
+    "load_segmented",
 ]

@@ -363,3 +363,53 @@ def load_dense_model(path: str):
         docids = f.read().splitlines()
     return DenseModel(model=model, params=params, cfg=cfg, docids=docids,
                       flat=flat_index)
+
+
+# --------------------------------------------------------------------------
+# segmented (live-update) models
+# --------------------------------------------------------------------------
+
+def save_segmented(path: str, seg) -> None:
+    """Persist a tdr.rank.SegmentedBM25: the main segment via the sparse
+    checkpoint, plus the delta's SOURCE documents (token lists) and the
+    tombstone set as JSON — the delta index itself is a cheap rebuild at
+    load (it is small by construction; its global-stat derivation must
+    re-run against the restored main anyway)."""
+    os.makedirs(path, exist_ok=True)
+    save_sparse_model(os.path.join(path, "main"), seg.main)
+    state = {
+        "format_version": FORMAT_VERSION,
+        "lang": seg.lang,
+        "bm25": dataclasses.asdict(seg.bm25),
+        "index_cfg": dataclasses.asdict(seg.index_cfg),
+        "delta_toks": seg._delta_toks,
+        "delta_ids": seg._delta_ids,
+        "deleted": sorted(seg._deleted),
+    }
+    with open(os.path.join(path, "segments.json"), "w") as f:
+        json.dump(state, f)
+
+
+def load_segmented(path: str):
+    from tdr.rank.segmented import SegmentedBM25
+    from tdr.utils.config import BM25Config, IndexConfig
+
+    with open(os.path.join(path, "segments.json")) as f:
+        state = json.load(f)
+    if state.get("format_version", 1) > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {state['format_version']} is newer than "
+            f"this build ({FORMAT_VERSION})")
+    seg = SegmentedBM25(
+        main=load_sparse_model(os.path.join(path, "main")),
+        lang=state["lang"],
+        bm25=BM25Config(**state["bm25"]),
+        index_cfg=IndexConfig(**state["index_cfg"]),
+    )
+    seg._deleted = set(state["deleted"])
+    if state["delta_ids"]:
+        seg.add_documents(state["delta_toks"], state["delta_ids"])
+        # add_documents revives tombstoned ids on purpose; restore the
+        # exact persisted tombstones (they were taken AFTER those adds)
+        seg._deleted = set(state["deleted"])
+    return seg

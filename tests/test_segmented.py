@@ -135,3 +135,26 @@ class TestRouterIntegration:
         # fr queries still work through the normal path
         fr_out = router.retrieve(queries.queries[:3], queries.langs[:3], k=5)
         assert all(len(r) > 0 for r in fr_out)
+
+class TestSegmentedCheckpoint:
+    def test_roundtrip_with_delta_and_tombstones(self, tmp_path, seg):
+        from tdr.ckpt import load_segmented, save_segmented
+
+        s, toks, ids, rng = seg
+        s.add_documents(*_docs(rng, 5, tag="w"))
+        s.delete_documents(["d2", "wd1"])
+        path = str(tmp_path / "seg")
+        save_segmented(path, s)
+        loaded = load_segmented(path)
+        assert loaded.docids == s.docids
+        assert loaded._deleted == {"d2", "wd1"}
+        q = [["sig_w0"], ["sig_2"], ["sig_w1"], ["sig_9"]]
+        v1, r1 = s.topk_tokens(q, k=5)
+        v2, r2 = loaded.topk_tokens(q, k=5)
+        assert np.array_equal(r1, r2) and np.array_equal(v1, v2)
+        # the tombstoned docs stay gone after reload
+        assert "d2" not in loaded.retrieve_tokens([["sig_2"]], k=3)[0]
+        assert "wd1" not in loaded.retrieve_tokens([["sig_w1"]], k=3)[0]
+        # and updates keep working post-reload
+        loaded.add_documents([["post", "reload", "sig_post"]], ["p1"])
+        assert loaded.retrieve_tokens([["sig_post"]], k=1)[0] == ["p1"]
