@@ -105,11 +105,27 @@ def _cmd_serve(args) -> int:
     if getattr(args, "mutable", False):
         # live updates: wrap every language in a Lucene-style segmented
         # model (tdr.rank.segmented) — adds/deletes apply between query
-        # batches, in request order
+        # batches, in request order.  --state-dir makes mutations durable:
+        # restored on startup, saved on clean shutdown (EOF).
         from tdr.rank import SegmentedBM25
 
-        models = {l: SegmentedBM25(main=m, lang=l)
-                  for l, m in models.items()}
+        state_dir = getattr(args, "state_dir", None)
+        if state_dir and os.path.isdir(state_dir):
+            from tdr.ckpt import load_segmented
+
+            models = {l: load_segmented(os.path.join(state_dir, l))
+                      for l in sorted(os.listdir(state_dir))
+                      if os.path.isdir(os.path.join(state_dir, l))}
+            if getattr(args, "spell_correct", False):
+                import dataclasses as _dc
+
+                for m in models.values():
+                    m.main = _dc.replace(m.main, spell_correct=True)
+            log.info("restored mutable state for %s from %s",
+                     sorted(models), state_dir)
+        else:
+            models = {l: SegmentedBM25(main=m, lang=l)
+                      for l, m in models.items()}
     router = LanguageRouter(models, query_batch=args.batch)
     # warm the padded-batch compile for EVERY language before accepting
     # traffic (a first request routed to a cold language would otherwise
@@ -252,6 +268,16 @@ def _cmd_serve(args) -> int:
 
     buf = []
 
+    def shutdown() -> int:
+        state_dir = getattr(args, "state_dir", None)
+        if getattr(args, "mutable", False) and state_dir:
+            from tdr.ckpt import save_segmented
+
+            for l, m in models.items():
+                save_segmented(os.path.join(state_dir, l), m)
+            log.info("saved mutable state to %s", state_dir)
+        return 0
+
     def handle(line):
         if not line.strip():
             return
@@ -269,7 +295,7 @@ def _cmd_serve(args) -> int:
         line = next_line(None)
         if line is None:
             flush(buf)
-            return 0
+            return shutdown()
         handle(line)
         # coalesce: requests already buffered or arriving within the window
         # share one padded device batch
@@ -281,7 +307,7 @@ def _cmd_serve(args) -> int:
             handle(nxt)
         flush(buf)
         if eof and not pending:
-            return 0
+            return shutdown()
 
 
 def _cmd_eval(args) -> int:
@@ -521,6 +547,10 @@ def main(argv=None) -> int:
     sv.add_argument("--spell-correct", action="store_true",
                     help="repair out-of-vocabulary query terms by trigram "
                          "vocabulary matching (tdr.text.spell) before scoring")
+    sv.add_argument("--state-dir", default=None, dest="state_dir",
+                    help="with --mutable: restore segmented state from this "
+                         "directory on startup (if it exists) and save it "
+                         "there on clean shutdown")
     sv.add_argument("--mutable", action="store_true",
                     help="accept live updates: {\"add\": {\"docid\", "
                          "\"text\", \"lang\"?}} and {\"delete\": docid(s)} "

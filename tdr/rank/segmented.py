@@ -148,7 +148,8 @@ class SegmentedBM25:
         self.delta = BM25Model(vocab=vocab, index=index,
                                docids=list(self._delta_ids), lang=self.lang,
                                max_query_terms=self.main.max_query_terms,
-                               query_weight="unit")
+                               query_weight="unit",
+                               spell_correct=self.main.spell_correct)
 
     # -- retrieval (router sync protocol) -------------------------------------
 

@@ -387,3 +387,50 @@ def test_cli_serve_mutable_add_delete(tmp_path):
     out2 = [_json.loads(l) for l in p2.stdout.decode().splitlines()
             if l.strip()]
     assert any("read-only" in r.get("error", "") for r in out2)
+
+
+def test_cli_serve_mutable_state_survives_restart(tmp_path):
+    """--mutable --state-dir: mutations saved at EOF are visible to a
+    fresh server started on the same state dir."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, _ = synthetic_corpus(
+        SyntheticSpec(n_docs=150, n_queries=4, seed=8, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+    state = str(tmp_path / "state")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    base = [_sys.executable, "-m", "tdr.cli", "serve", "--mutable",
+            "--index", str(tmp_path / "idx"), "--state-dir", state,
+            "--k", "5", "--batch", "8", "--window-ms", "0"]
+
+    # session 1: add a doc, exit (EOF saves state)
+    reqs1 = _json.dumps({"add": {"docid": "durable1",
+                                 "text": "wombat numbat bilby marsupial",
+                                 "lang": "en"}}) + "\n"
+    p1 = subprocess.run(base, input=reqs1.encode(), capture_output=True,
+                        timeout=570, env=env, cwd=cwd)
+    assert p1.returncode == 0, p1.stderr.decode()[-500:]
+    assert os.path.isdir(os.path.join(state, "en"))
+
+    # session 2: the restored server retrieves the doc added in session 1
+    reqs2 = _json.dumps({"query": "wombat numbat bilby", "lang": "en",
+                         "k": 5}) + "\n"
+    p2 = subprocess.run(base, input=reqs2.encode(), capture_output=True,
+                        timeout=570, env=env, cwd=cwd)
+    assert p2.returncode == 0, p2.stderr.decode()[-500:]
+    out = [_json.loads(l) for l in p2.stdout.decode().splitlines()
+           if l.strip()]
+    results = [r for r in out if "docids" in r]
+    assert results and results[0]["docids"][0] == "durable1"
