@@ -601,6 +601,39 @@ def main() -> None:
         log.info("fast profile: %s", fast)
         del router_fast, models_fast, res_fast
 
+    # live-update (segmented) section: wrap the LARGEST partition, add a
+    # batch of documents, measure add latency + retrievability + the
+    # post-update query pass (proves the Lucene-style segment design at
+    # reference scale; tdr/rank/segmented.py)
+    seg_metrics = {}
+    if os.environ.get("TDR_BENCH_SEGMENTED", "1") == "1":
+        from tdr.rank import SegmentedBM25
+        from tdr.text import preprocess_texts
+
+        big = max(models, key=lambda l: models[l].index.n_docs)
+        seg = SegmentedBM25(main=models[big], lang=big)
+        new_texts = [f"freshdoc {i} zyqx{i} kwv{i} live segment update"
+                     for i in range(100)]
+        new_toks = preprocess_texts(new_texts, [big] * 100)
+        t0 = time.perf_counter()
+        seg.add_documents(new_toks, [f"live{i}" for i in range(100)])
+        add_sec = time.perf_counter() - t0
+        hits = sum(
+            seg.retrieve_tokens([[f"zyqx{i}"]], k=3)[0][:1] == [f"live{i}"]
+            for i in range(0, 100, 10))
+        t0 = time.perf_counter()
+        seg.topk_tokens(new_toks[:256] * 3, k=10)
+        seg_query_sec = time.perf_counter() - t0
+        seg_metrics = {
+            "segmented_partition": big,
+            "segmented_main_docs": models[big].index.n_docs,
+            "segmented_add100_sec": round(add_sec, 2),
+            "segmented_added_retrievable": f"{hits}/10",
+            "segmented_query_pass_sec": round(seg_query_sec, 3),
+        }
+        log.info("segmented live-update: %s", seg_metrics)
+        del seg
+
     # roofline on the largest partition
     biggest = max(models, key=lambda l: models[l].index.n_docs)
     roofline = _kernel_roofline(models[biggest], batch=256, peak_gbps=peak_gbps)
@@ -636,6 +669,7 @@ def main() -> None:
             "index_build_sec": round(build_s, 1),
             "retrieve_sec": round(elapsed, 2),
             "kernel_roofline_en": roofline,
+            "segmented_updates": seg_metrics,
             "fast_profile": fast,
             "spell_correction": spell,
             "serving_latency": latency,
