@@ -611,7 +611,10 @@ def main() -> None:
         from tdr.text import preprocess_texts
 
         big = max(models, key=lambda l: models[l].index.n_docs)
-        seg = SegmentedBM25(main=models[big], lang=big)
+        # same index config as the bench build: delta segments must share
+        # the main's BM25/index parameters for cross-segment comparability
+        seg = SegmentedBM25(main=models[big], lang=big,
+                            index_cfg=IndexConfig(head_budget_bytes=head_budget))
         new_texts = [f"freshdoc {i} zyqx{i} kwv{i} live segment update"
                      for i in range(100)]
         new_toks = preprocess_texts(new_texts, [big] * 100)

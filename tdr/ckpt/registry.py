@@ -324,7 +324,7 @@ def save_dense_model(path: str, dense) -> None:
     with open(os.path.join(path, "docids.txt"), "w") as f:
         f.write("\n".join(dense.docids))
     meta = {
-        "format_version": FORMAT_VERSION,
+        "format_version": 2 if dense.flat.doc_scale is not None else 1,
         "n_leaves": len(flat),
         "dtypes": dtypes,
         "emb_dtype": emb_dt,
@@ -343,6 +343,10 @@ def load_dense_model(path: str):
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("format_version", 1) > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {meta['format_version']} is newer than "
+            f"this build ({FORMAT_VERSION})")
     cfg = DenseConfig(**meta["cfg"])
     model, params0 = init_encoder(cfg)
     _, treedef = jax.tree_util.tree_flatten(params0)
@@ -406,10 +410,13 @@ def load_segmented(path: str):
         bm25=BM25Config(**state["bm25"]),
         index_cfg=IndexConfig(**state["index_cfg"]),
     )
-    seg._deleted = set(state["deleted"])
     if state["delta_ids"]:
+        # replaying the adds reconstructs the positional shadows (a re-add
+        # shadows every older copy of its docid, intra-batch included)
         seg.add_documents(state["delta_toks"], state["delta_ids"])
-        # add_documents revives tombstoned ids on purpose; restore the
-        # exact persisted tombstones (they were taken AFTER those adds)
-        seg._deleted = set(state["deleted"])
+    # the persisted `deleted` set holds ids deleted and NOT re-added since
+    # (add_documents discards re-added ids), so replaying the deletes last
+    # reconstructs the exact dead-position set
+    if state["deleted"]:
+        seg.delete_documents(state["deleted"])
     return seg

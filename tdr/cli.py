@@ -101,31 +101,49 @@ def _cmd_serve(args) -> int:
     from tdr.rank import LanguageRouter
     from tdr.utils.trace import log
 
-    models = _apply_spell(load_registry(args.index), args)
-    if getattr(args, "mutable", False):
+    if not getattr(args, "mutable", False):
+        models = _apply_spell(load_registry(args.index), args)
+    else:
         # live updates: wrap every language in a Lucene-style segmented
         # model (tdr.rank.segmented) — adds/deletes apply between query
         # batches, in request order.  --state-dir makes mutations durable:
         # restored on startup, saved on clean shutdown (EOF).
+        import dataclasses as _dc
+
+        from tdr.ckpt import load_segmented, load_sparse_model
         from tdr.rank import SegmentedBM25
+        from tdr.utils.config import TdrConfig
 
+        with open(os.path.join(args.index, "manifest.json")) as f:
+            manifest = json.load(f)
+        # delta segments must build with the SAME BM25/index config as the
+        # main index or cross-segment scores drift — the build CLI echoes
+        # its config into the registry manifest; read it back here
+        cfg_echo = manifest.get("extra", {}).get("config")
+        tcfg = (TdrConfig.from_json(json.dumps(cfg_echo)) if cfg_echo
+                else TdrConfig())
         state_dir = getattr(args, "state_dir", None)
+        models = {}
         if state_dir and os.path.isdir(state_dir):
-            from tdr.ckpt import load_segmented
-
-            models = {l: load_segmented(os.path.join(state_dir, l))
-                      for l in sorted(os.listdir(state_dir))
-                      if os.path.isdir(os.path.join(state_dir, l))}
-            if getattr(args, "spell_correct", False):
-                import dataclasses as _dc
-
-                for m in models.values():
-                    m.main = _dc.replace(m.main, spell_correct=True)
-            log.info("restored mutable state for %s from %s",
-                     sorted(models), state_dir)
-        else:
-            models = {l: SegmentedBM25(main=m, lang=l)
-                      for l, m in models.items()}
+            for l in sorted(os.listdir(state_dir)):
+                if os.path.isdir(os.path.join(state_dir, l)):
+                    models[l] = load_segmented(os.path.join(state_dir, l))
+            if models:
+                log.info("restored mutable state for %s from %s",
+                         sorted(models), state_dir)
+        # registry languages without saved state wrap fresh (covers the
+        # first run, a pre-created empty state dir, and partial state);
+        # load per language so restored ones are not loaded twice
+        for l in manifest["languages"]:
+            if l not in models:
+                models[l] = SegmentedBM25(
+                    main=load_sparse_model(os.path.join(args.index, l)),
+                    lang=l, bm25=tcfg.bm25, index_cfg=tcfg.index)
+        if getattr(args, "spell_correct", False):
+            for m in models.values():
+                m.main = _dc.replace(m.main, spell_correct=True)
+                if m.delta is not None:
+                    m._rebuild_delta()   # propagate spell into the delta
     router = LanguageRouter(models, query_batch=args.batch)
     # warm the padded-batch compile for EVERY language before accepting
     # traffic (a first request routed to a cold language would otherwise
@@ -191,23 +209,33 @@ def _cmd_serve(args) -> int:
 
     def apply_mutation(r):
         """Add/delete between query batches (request order preserved —
-        callers flush the pending query buffer first)."""
-        if r["_op"] == "add":
-            a = r["add"]
-            lang = a.get("lang") or ""
-            if lang not in models:
-                from tdr.text.langid import detect_language
+        callers flush the pending query buffer first).  A failing mutation
+        answers with an error line; it must never kill the server."""
+        try:
+            if r["_op"] == "add":
+                a = r["add"]
+                lang = a.get("lang") or ""
+                if lang not in models:
+                    from tdr.text.langid import detect_language
 
-                lang = detect_language(a["text"], default=router.default_lang)
-            if lang not in models:
-                lang = router.default_lang
-            toks = router.preprocessor(a["text"], lang)
-            models[lang].add_documents([toks], [a["docid"]])
-            emit({"added": a["docid"], "lang": lang})
-        else:
-            for m in models.values():
-                m.delete_documents(r["delete"])
-            emit({"deleted": r["delete"]})
+                    lang = detect_language(a["text"],
+                                           default=router.default_lang)
+                if lang not in models:
+                    # default_lang may itself be absent from this registry
+                    lang = (router.default_lang
+                            if router.default_lang in models
+                            else sorted(models)[0])
+                toks = router.preprocessor(a["text"], lang)
+                models[lang].add_documents([toks], [a["docid"]])
+                emit({"added": a["docid"], "lang": lang})
+            else:
+                # positional tombstones: a broadcast delete only marks
+                # rows in the language(s) that actually hold the docid
+                for m in models.values():
+                    m.delete_documents(r["delete"])
+                emit({"deleted": r["delete"]})
+        except Exception as e:   # noqa: BLE001 — serve must stay alive
+            emit({"error": f"mutation failed: {e}"})
         sys.stdout.flush()
 
     def flush(buf):

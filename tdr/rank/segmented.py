@@ -62,7 +62,26 @@ class SegmentedBM25:
     delta: Optional[BM25Model] = None
     _delta_toks: List[List[str]] = field(default_factory=list)
     _delta_ids: List[str] = field(default_factory=list)
+    # docids deleted and not since re-added (drives compaction + persistence)
     _deleted: Set[str] = field(default_factory=set)
+    # POSITIONS in `docids` hidden from results.  Tombstones are positional
+    # because re-adding an existing docid must shadow the stale copy (the
+    # only update path) while the NEW copy at its fresh position stays
+    # live — a docid-level tombstone cannot express that.  Positions are
+    # stable: main is immutable, the delta is append-only until compaction.
+    _dead_rows: Set[int] = field(default_factory=set)
+    _pos: Optional[dict] = None   # docid -> [positions], built lazily
+
+    def _positions(self) -> dict:
+        if self._pos is None:
+            pos: dict = {}
+            for i, d in enumerate(self.main.docids):
+                pos.setdefault(d, []).append(i)
+            base = len(self.main.docids)
+            for j, d in enumerate(self._delta_ids):
+                pos.setdefault(d, []).append(base + j)
+            self._pos = pos
+        return self._pos
 
     # -- construction --------------------------------------------------------
 
@@ -86,15 +105,28 @@ class SegmentedBM25:
         the main vocab), n_docs and avgdl over both segments.
         """
         assert len(doc_token_lists) == len(docids)
-        for d in docids:
-            self._deleted.discard(d)   # re-add revives a tombstoned id
-        self._delta_toks.extend([list(t) for t in doc_token_lists])
-        self._delta_ids.extend(docids)
+        pos = self._positions()
+        base = len(self.main.docids)
+        for t, d in zip(doc_token_lists, docids):
+            # shadow every EXISTING copy (this IS the update path: the new
+            # version at its fresh position is the live one) and revive a
+            # tombstoned id
+            self._dead_rows.update(pos.get(d, ()))
+            self._deleted.discard(d)
+            self._delta_toks.append(list(t))
+            pos.setdefault(d, []).append(base + len(self._delta_ids))
+            self._delta_ids.append(d)
         self._rebuild_delta()
 
     def delete_documents(self, docids: Sequence[str]) -> None:
-        """Tombstone documents (main or delta); filtered at merge time."""
-        self._deleted.update(docids)
+        """Tombstone documents (main or delta); filtered at merge time.
+        Unknown docids are recorded but mark nothing (no cost at query
+        time — the filter works on positions, so a delete broadcast to
+        several languages only affects the one holding the docid)."""
+        pos = self._positions()
+        for d in docids:
+            self._dead_rows.update(pos.get(d, ()))
+            self._deleted.add(d)
 
     def compact(self) -> None:
         """Fold the delta into a fresh main segment.
@@ -112,8 +144,9 @@ class SegmentedBM25:
 
     def compact_with(self, doc_token_lists: Sequence[Sequence[str]],
                      docids: Sequence[str]) -> None:
-        """Rebuild ONE main segment from the given full corpus (caller
-        passes current live documents; tombstoned ids are dropped here)."""
+        """Rebuild ONE main segment from the given full corpus.  The caller
+        provides the current truth (one entry per live docid — for updated
+        documents, the latest text); explicitly deleted ids are dropped."""
         keep = [i for i, d in enumerate(docids) if d not in self._deleted]
         self.main = BM25Model.build(
             [doc_token_lists[i] for i in keep], [docids[i] for i in keep],
@@ -121,9 +154,17 @@ class SegmentedBM25:
         self.delta = None
         self._delta_toks, self._delta_ids = [], []
         self._deleted = set()
+        self._dead_rows = set()
+        self._pos = None
 
     def _rebuild_delta(self) -> None:
         vocab = build_vocab(self._delta_toks)
+        if vocab.size == 0:
+            # every pending doc tokenized to nothing (empty/stopword-only
+            # text): such docs are unretrievable by content but must still
+            # exist by position — give the build a one-term vocab no query
+            # can produce so the index machinery has a non-empty shape
+            vocab = build_vocab([["\x00empty"]])
         coo = encode_docs(self._delta_toks, vocab)
         # global statistics: combined df / n_docs / avgdl
         main_vocab = self.main.vocab
@@ -159,41 +200,43 @@ class SegmentedBM25:
 
     @property
     def n_docs(self) -> int:
-        return len(self.docids) - len(self._deleted)
+        return len(self.docids) - len(self._dead_rows)
 
     def topk_tokens(self, token_lists: Sequence[Sequence[str]], k: int = 10,
                     pad_to: Optional[int] = None):
         """Merged (scores (Q,k), rows (Q,k)) over main+delta minus
         tombstones; rows index into `self.docids`.  Both segment passes
-        are dispatched before either is pulled (two RPCs total)."""
-        # extra candidates cover rows the tombstone filter removes
-        extra = min(len(self._deleted), 64)
-        k_seg = k + extra
+        are dispatched before anything is pulled, and all results come
+        back in ONE packed device→host transfer (`_gather_pending` — each
+        extra sync is a full RPC round trip on tunnel backends)."""
+        # extra candidates cover rows the tombstone filter removes; FIXED
+        # at 64 when any tombstone exists so k_seg stays one of two jit
+        # compile keys (a per-delete k_seg would recompile the main-segment
+        # kernel on every distinct tombstone count — 30-190 s per shape on
+        # a remote compiler)
+        k_seg = k + (64 if self._dead_rows else 0)
         vm, rm, nm = self.main.topk_tokens_async(token_lists, k_seg,
                                                  pad_to=pad_to)
+        from tdr.rank.router import _gather_pending
+
         if self.delta is not None:
             vd, rd, _ = self.delta.topk_tokens_async(token_lists, k_seg,
                                                      pad_to=pad_to)
-        vm, rm = np.asarray(vm)[:nm], np.asarray(rm)[:nm]
-        if self.delta is not None:
-            vd, rd = np.asarray(vd)[:nm], np.asarray(rd)[:nm]
-            vals = np.concatenate([vm, vd], axis=1)
-            rows = np.concatenate([rm, rd + len(self.main.docids)], axis=1)
+            (vm, vd), (rm, rd) = _gather_pending([vm, vd], [rm, rd])
+            vm, rm = vm[:nm], rm[:nm]
+            vals = np.concatenate([vm, vd[:nm]], axis=1)
+            rows = np.concatenate(
+                [rm, rd[:nm] + len(self.main.docids)], axis=1)
         else:
-            vals, rows = vm, rm
+            (vm,), (rm,) = _gather_pending([vm], [rm])
+            vals, rows = vm[:nm], rm[:nm]
         # host merge: k is tiny
         order = np.argsort(-vals, axis=1, kind="stable")
         vals = np.take_along_axis(vals, order, axis=1)
         rows = np.take_along_axis(rows, order, axis=1)
-        if self._deleted:
-            # pad rows carry the fused core's sentinel id (one past the
-            # padded doc range) with -inf scores — clip for the id lookup
-            # and let the finite mask exclude them
-            all_ids = self.docids
-            safe = np.clip(rows, 0, len(all_ids) - 1)
-            dead = np.vectorize(
-                lambda r: all_ids[r] in self._deleted,
-                otypes=[bool])(safe) & np.isfinite(vals)
+        if self._dead_rows:
+            dead = (np.isin(rows, np.fromiter(self._dead_rows, np.int64))
+                    & np.isfinite(vals))
             vals = np.where(dead, -np.inf, vals)
             order = np.argsort(-vals, axis=1, kind="stable")
             vals = np.take_along_axis(vals, order, axis=1)

@@ -158,3 +158,66 @@ class TestSegmentedCheckpoint:
         # and updates keep working post-reload
         loaded.add_documents([["post", "reload", "sig_post"]], ["p1"])
         assert loaded.retrieve_tokens([["sig_post"]], k=1)[0] == ["p1"]
+
+
+class TestUpdateSemantics:
+    """Re-adding an existing docid is the UPDATE path: the stale copy must
+    be shadowed (review finding: a docid-level tombstone revived the old
+    main copy and served duplicates)."""
+
+    def test_readd_shadows_stale_main_copy(self, seg):
+        s, toks, ids, rng = seg
+        s.add_documents([["replacement", "text", "newsig_3"]], ["d3"])
+        # old signature no longer surfaces d3; the new one does
+        got_new = s.retrieve_tokens([["newsig_3"]], k=3)[0]
+        assert got_new[0] == "d3"
+        got_old = s.retrieve_tokens([["sig_3"]], k=5)[0]
+        assert "d3" not in got_old
+        # no duplicates anywhere
+        for row in s.retrieve_tokens([["newsig_3"], ["sig_3"]], k=10):
+            assert len(row) == len(set(row))
+
+    def test_delete_then_readd_serves_only_new(self, seg):
+        s, toks, ids, rng = seg
+        s.delete_documents(["d4"])
+        s.add_documents([["fresh", "version", "v2sig_4"]], ["d4"])
+        assert s.retrieve_tokens([["v2sig_4"]], k=3)[0][0] == "d4"
+        assert "d4" not in s.retrieve_tokens([["sig_4"]], k=5)[0]
+
+    def test_update_within_delta(self, seg):
+        s, toks, ids, rng = seg
+        s.add_documents([["alpha", "one", "dsig_a"]], ["dx"])
+        s.add_documents([["beta", "two", "dsig_b"]], ["dx"])
+        assert s.retrieve_tokens([["dsig_b"]], k=3)[0][0] == "dx"
+        assert "dx" not in s.retrieve_tokens([["dsig_a"]], k=5)[0]
+
+    def test_n_docs_counts_live_copies(self, seg):
+        s, toks, ids, rng = seg
+        n0 = s.n_docs
+        s.add_documents([["u", "pdate", "usig"]], ["d9"])   # update: net 0
+        assert s.n_docs == n0
+        s.delete_documents(["d8"])
+        assert s.n_docs == n0 - 1
+
+    def test_empty_token_add_survives(self, seg):
+        """Empty/stopword-only text must not crash the delta build (it
+        killed the mutable server before the vocab guard)."""
+        s, toks, ids, rng = seg
+        s.add_documents([[]], ["emptydoc"])
+        assert "emptydoc" in s.docids
+        # content-free, so unretrievable — but other ops keep working
+        s.add_documents([["real", "content", "rsig"]], ["r1"])
+        assert s.retrieve_tokens([["rsig"]], k=1)[0] == ["r1"]
+
+    def test_ckpt_roundtrip_preserves_shadows(self, tmp_path, seg):
+        from tdr.ckpt import load_segmented, save_segmented
+
+        s, toks, ids, rng = seg
+        s.add_documents([["updated", "usig_6"]], ["d6"])   # shadows main d6
+        s.delete_documents(["d1"])
+        save_segmented(str(tmp_path / "s"), s)
+        loaded = load_segmented(str(tmp_path / "s"))
+        assert loaded._dead_rows == s._dead_rows
+        assert "d6" not in loaded.retrieve_tokens([["sig_6"]], k=5)[0]
+        assert loaded.retrieve_tokens([["usig_6"]], k=1)[0] == ["d6"]
+        assert "d1" not in loaded.retrieve_tokens([["sig_1"]], k=5)[0]
