@@ -175,9 +175,13 @@ class IvfIndex:
     """k-means partitioned ANN index (IndexIVFFlat equivalent)."""
 
     centroids: jnp.ndarray        # (nlist, D)
-    buckets: jnp.ndarray          # (nlist, bucket_pad, D) embeddings by cluster
+    buckets: jnp.ndarray          # (nlist, bucket_pad, D) f32 or int8 (SQ8)
     bucket_rows: jnp.ndarray      # (nlist, bucket_pad) int32 original rows
     bucket_counts: jnp.ndarray    # (nlist,) int32
+    # IVF+SQ8 (FAISS IndexIVFScalarQuantizer analogue): per-vector scale;
+    # the probed-bucket gather is IVF's bottleneck (random HBM traffic,
+    # see ARCHITECTURE "Crossover note") — int8 buckets quarter it vs f32
+    bucket_scale: Optional[jnp.ndarray] = None   # (nlist, bucket_pad) f32
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
     nlist: int = dataclasses.field(metadata=dict(static=True), default=0)
     bucket_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -205,8 +209,12 @@ def _kmeans(emb: jnp.ndarray, key: jnp.ndarray, nlist: int, iters: int = 10):
 
 
 def build_ivf_index(
-    embeddings: np.ndarray, nlist: int = 64, iters: int = 10, seed: int = 0
+    embeddings: np.ndarray, nlist: int = 64, iters: int = 10, seed: int = 0,
+    dtype: str = "float32",
 ) -> IvfIndex:
+    """``dtype="int8"`` scalar-quantizes the bucket entries per vector
+    (centroids and the coarse quantizer stay f32) — the IVF+SQ8 trade."""
+    assert dtype in ("float32", "int8"), dtype
     n, d = embeddings.shape
     nlist = min(nlist, max(n, 1))
     emb_j = jnp.asarray(embeddings, jnp.float32)
@@ -222,11 +230,19 @@ def build_ivf_index(
         buckets[c, fill[c]] = embeddings[i]
         rows[c, fill[c]] = i
         fill[c] += 1
+    scale = None
+    if dtype == "int8":
+        vmax = np.abs(buckets).max(axis=2)                  # (nlist, Bp)
+        sc = vmax / 127.0
+        inv = np.where(sc > 0, 1.0 / np.maximum(sc, 1e-30), 0.0)
+        buckets = np.rint(buckets * inv[..., None]).astype(np.int8)
+        scale = jnp.asarray(sc.astype(np.float32))
     return IvfIndex(
         centroids=cent,
         buckets=jnp.asarray(buckets),
         bucket_rows=jnp.asarray(rows),
         bucket_counts=jnp.asarray(counts.astype(np.int32)),
+        bucket_scale=scale,
         n_docs=n, nlist=nlist, bucket_pad=bucket_pad,
     )
 
@@ -243,7 +259,14 @@ def ivf_search(index: IvfIndex, q: jnp.ndarray, top_k: int = 10, nprobe: int = 8
     cand_rows = index.bucket_rows[probe]                      # (Q, np, Bp)
     cand_cnt = index.bucket_counts[probe]                     # (Q, np)
 
-    scores = jnp.einsum("qd,qpbd->qpb", q, cand_emb)          # (Q, np, Bp)
+    if index.buckets.dtype == jnp.int8:
+        # SQ8 buckets: the gather moves 1/4 the f32 bytes; dequantization
+        # is one per-vector multiply on the (Q, np, Bp) output
+        scores = jnp.einsum("qd,qpbd->qpb", q,
+                            cand_emb.astype(jnp.float32))
+        scores = scores * index.bucket_scale[probe]
+    else:
+        scores = jnp.einsum("qd,qpbd->qpb", q, cand_emb)      # (Q, np, Bp)
     slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     scores = jnp.where(slot < cand_cnt[..., None], scores, NEG_INF)
 

@@ -272,3 +272,26 @@ def test_int8_ckpt_version_gate(tmp_path):
     json.dump(meta, open(os.path.join(p8, "meta.json"), "w"))
     with pytest.raises(ValueError, match="newer than"):
         load_sparse_model(p8)
+
+
+def test_ivf_sq8_matches_f32_ivf():
+    """IVF+SQ8 (quantized bucket entries, f32 coarse quantizer): same
+    probes as f32 IVF, ≥90% top-10 overlap, rank-1 preserved."""
+    from tdr.models.dense import build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(7)
+    emb = rng.randn(600, 48).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.randint(0, 600, 24)] + 0.03 * rng.randn(24, 48).astype(np.float32)
+
+    f32 = build_ivf_index(emb, nlist=16, seed=1)
+    q8 = build_ivf_index(emb, nlist=16, seed=1, dtype="int8")
+    assert q8.buckets.dtype == jnp.int8 and q8.bucket_scale is not None
+    np.testing.assert_array_equal(np.asarray(f32.bucket_rows),
+                                  np.asarray(q8.bucket_rows))
+    vf, rf = ivf_search(f32, jnp.asarray(q), top_k=10, nprobe=8)
+    v8, r8 = ivf_search(q8, jnp.asarray(q), top_k=10, nprobe=8)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(np.asarray(rf), np.asarray(r8))])
+    assert overlap >= 0.9, overlap
+    assert (np.asarray(rf)[:, 0] == np.asarray(r8)[:, 0]).mean() >= 0.9
