@@ -458,6 +458,12 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
     ivf = build_ivf_index(emb, nlist=512)
     dt_ivf = timed(lambda q: ivf_search(ivf, q, 10, nprobe=16))
     out["dense_ivf_qps_nprobe16"] = round(batch / dt_ivf, 1)
+    del ivf
+    # IVF+SQ8: quantized bucket entries quarter the probed-gather bytes
+    # (the IVF bottleneck — see ARCHITECTURE crossover note)
+    ivf8 = build_ivf_index(emb, nlist=512, dtype="int8")
+    dt_ivf8 = timed(lambda q: ivf_search(ivf8, q, 10, nprobe=16))
+    out["dense_ivf_sq8_qps_nprobe16"] = round(batch / dt_ivf8, 1)
     return out
 
 
