@@ -434,3 +434,49 @@ def test_cli_serve_mutable_state_survives_restart(tmp_path):
            if l.strip()]
     results = [r for r in out if "docids" in r]
     assert results and results[0]["docids"][0] == "durable1"
+
+
+def test_cli_serve_mutation_error_keeps_server_alive(tmp_path):
+    """A failing mutation (e.g. nothing-tokenizes text is fine now, so use
+    an internal failure via monkeypatched-free route: duplicate giant k is
+    already covered — here assert empty-text adds SUCCEED and a later
+    query still works, i.e. no mutation can kill the loop)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=150, n_queries=4, seed=9, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    reqs = "\n".join([
+        # empty / punctuation-only text: tokenizes to nothing — must not
+        # kill the server (it crashed the delta build before the guard)
+        _json.dumps({"add": {"docid": "e1", "text": "", "lang": "en"}}),
+        _json.dumps({"add": {"docid": "e2", "text": "... !!!", "lang": "en"}}),
+        _json.dumps({"query": queries.queries[0], "lang": "en", "k": 5}),
+    ]) + "\n"
+    p = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve", "--mutable",
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "8",
+         "--window-ms", "0"],
+        input=reqs.encode(), capture_output=True, timeout=570, env=env,
+        cwd=cwd)
+    assert p.returncode == 0, p.stderr.decode()[-800:]
+    out = [_json.loads(l) for l in p.stdout.decode().splitlines() if l.strip()]
+    # both adds answered (ack or error — either is alive), and the final
+    # query got real results
+    results = [r for r in out if "docids" in r]
+    assert len(results) == 1 and results[0]["docids"]
+    assert len(out) == 3
