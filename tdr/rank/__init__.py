@@ -7,7 +7,9 @@ from tdr.rank.sentence import (
 )
 from tdr.rank.single_index import SingleIndexRetriever
 from tdr.rank.segmented import SegmentedBM25
+from tdr.rank.fuse import rrf_fuse
 
 __all__ = ["LanguageRouter", "build_language_models", "CascadeRetriever",
            "cascade_score_topk", "SentenceBM25", "SentenceLmCascade",
-           "candidate_union", "SingleIndexRetriever", "SegmentedBM25"]
+           "candidate_union", "SingleIndexRetriever", "SegmentedBM25",
+           "rrf_fuse"]

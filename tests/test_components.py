@@ -389,3 +389,61 @@ class TestSentenceCascadeMultilingual:
         sb2 = SentenceBM25.build(["a1", "a2"], docs_ar, "ar", index_cfg=CFG)
         _, sids2 = sb2.top_sentences([pp("الحاسوب الكمي", "ar")], k=2)
         assert get_original_docid(sids2[0][0]) == "a2"
+
+
+class TestRrfFusion:
+    """Reciprocal rank fusion (tdr.rank.fuse) — ensembling the engines the
+    reference only ever used one-at-a-time."""
+
+    def test_agreement_wins(self):
+        from tdr.rank.fuse import rrf_fuse
+
+        a = [["d1", "d2", "d3"]]
+        b = [["d2", "d1", "d4"]]
+        fused = rrf_fuse([a, b], k=3)[0]
+        # d1: 1/61 + 1/62; d2: 1/62 + 1/61 (tie), d3/d4 singletons lose
+        assert set(fused[:2]) == {"d1", "d2"}
+        assert fused[2] in ("d3", "d4")
+
+    def test_weights_break_ties(self):
+        from tdr.rank.fuse import rrf_fuse
+
+        a = [["x", "y"]]
+        b = [["y", "x"]]
+        assert rrf_fuse([a, b], k=1, weights=[2.0, 1.0])[0] == ["x"]
+        assert rrf_fuse([a, b], k=1, weights=[1.0, 2.0])[0] == ["y"]
+
+    def test_missing_docs_degrade_gracefully(self):
+        from tdr.rank.fuse import rrf_fuse
+
+        a = [["d1"]]
+        b = [[]]
+        assert rrf_fuse([a, b], k=2)[0] == ["d1"]
+
+    def test_mismatched_query_counts_rejected(self):
+        import pytest
+
+        from tdr.rank.fuse import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([[["a"]], [["a"], ["b"]]])
+
+    def test_fusion_recovers_recall_on_synthetic(self):
+        """BM25 + cosine RRF must beat neither engine badly and recover
+        documents only one engine finds."""
+        from tdr.data import synthetic_corpus, SyntheticSpec
+        from tdr.eval import recall_at_k
+        from tdr.models import BM25Model, TfidfCosineModel
+        from tdr.rank import LanguageRouter, build_language_models
+        from tdr.rank.fuse import rrf_fuse
+
+        corpus, queries = synthetic_corpus(
+            SyntheticSpec(n_docs=800, n_queries=120, seed=13, hard=True))
+        bm = LanguageRouter(build_language_models(corpus, BM25Model))
+        co = LanguageRouter(build_language_models(corpus, TfidfCosineModel))
+        r_bm = bm.retrieve(queries.queries, queries.langs, k=10)
+        r_co = co.retrieve(queries.queries, queries.langs, k=10)
+        fused = rrf_fuse([r_bm, r_co], k=10)
+        rec_bm = recall_at_k(r_bm, queries.positive_docs, 10)
+        rec_f = recall_at_k(fused, queries.positive_docs, 10)
+        assert rec_f >= rec_bm - 0.02, (rec_f, rec_bm)
