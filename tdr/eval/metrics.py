@@ -37,6 +37,28 @@ def mrr_at_k(
     return total / len(retrieved)
 
 
+def ndcg_at_k(
+    retrieved: Sequence[Sequence[str]], positives: Sequence[str], k: int = 10
+) -> float:
+    """nDCG@k for the single-relevant-document case (the dataset has one
+    positive per query, SURVEY §0): DCG = 1/log2(rank+1) if the positive
+    is at `rank` (1-based) in the top-k, else 0; IDCG = 1, so nDCG is the
+    mean positional discount — strictly between recall@k (position-blind)
+    and MRR@k (steeper 1/rank discount).  Beyond the reference's metric
+    set; standard IR reporting."""
+    import math
+
+    if not retrieved:
+        return 0.0
+    total = 0.0
+    for r, p in zip(retrieved, positives):
+        try:
+            total += 1.0 / math.log2(list(r[:k]).index(p) + 2)
+        except ValueError:
+            pass
+    return total / len(retrieved)
+
+
 def macro_f1(
     retrieved: Sequence[Sequence[str]], positives: Sequence[str]
 ) -> float:
@@ -80,6 +102,7 @@ def evaluate_retrieval(
     for k in ks:
         report[f"recall@{k}"] = recall_at_k(retrieved, positives, k)
         report[f"mrr@{k}"] = mrr_at_k(retrieved, positives, k)
+    report[f"ndcg@{max(ks)}"] = ndcg_at_k(retrieved, positives, max(ks))
     report["macro_f1@1"] = macro_f1(retrieved, positives)
     if langs is not None:
         kmax = max(ks)

@@ -183,3 +183,21 @@ class TestMetrics:
         assert any("duplicate id" in p for p in probs)
         assert any("duplicate docids" in p for p in probs)
         assert any("expected 10 docids, got 9" in p for p in probs)
+
+
+def test_ndcg_at_k():
+    """nDCG@k (single-positive case): rank-1 scores 1.0, rank-2 scores
+    1/log2(3), a miss scores 0; sits between MRR and recall."""
+    import math
+
+    from tdr.eval import mrr_at_k, ndcg_at_k, recall_at_k
+
+    retrieved = [["p0", "x"], ["x", "p1"], ["x", "y"]]
+    positives = ["p0", "p1", "p2"]
+    got = ndcg_at_k(retrieved, positives, k=2)
+    want = (1.0 + 1.0 / math.log2(3) + 0.0) / 3
+    assert abs(got - want) < 1e-12
+    mrr = mrr_at_k(retrieved, positives, 2)
+    rec = recall_at_k(retrieved, positives, 2)
+    assert mrr <= got <= rec
+    assert ndcg_at_k([], [], 5) == 0.0
