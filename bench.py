@@ -458,12 +458,21 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
     ivf = build_ivf_index(emb, nlist=512)
     dt_ivf = timed(lambda q: ivf_search(ivf, q, 10, nprobe=16))
     out["dense_ivf_qps_nprobe16"] = round(batch / dt_ivf, 1)
+    _, r_ivf = ivf_search(ivf, qs[0], 10, nprobe=16)
+    r_ivf = np.asarray(r_ivf)
     del ivf
     # IVF+SQ8: quantized bucket entries quarter the probed-gather bytes
-    # (the IVF bottleneck — see ARCHITECTURE crossover note)
+    # (the IVF bottleneck — see ARCHITECTURE crossover note).  Quality is
+    # reported next to the speed (CLAUDE.md: every perf knob ships with a
+    # recall/overlap recheck): overlap vs the f32 IVF at the same nprobe.
     ivf8 = build_ivf_index(emb, nlist=512, dtype="int8")
     dt_ivf8 = timed(lambda q: ivf_search(ivf8, q, 10, nprobe=16))
+    _, r_ivf8 = ivf_search(ivf8, qs[0], 10, nprobe=16)
+    r_ivf8 = np.asarray(r_ivf8)
     out["dense_ivf_sq8_qps_nprobe16"] = round(batch / dt_ivf8, 1)
+    out["dense_ivf_sq8_top10_overlap"] = round(float(np.mean(
+        [len(set(r_ivf[i]) & set(r_ivf8[i])) / 10.0
+         for i in range(batch)])), 4)
     return out
 
 

@@ -388,9 +388,19 @@ def _cmd_retrieve_dense(args) -> int:
 
     dense = load_dense_model(args.index)
     if args.ivf and dense.ivf is None:
-        dense.ivf = build_ivf_index(
-            np.asarray(dense.flat.embeddings)[: dense.flat.n_docs],
-            nlist=dense.cfg.ivf_nlist)
+        emb = np.asarray(dense.flat.embeddings)[: dense.flat.n_docs]
+        if dense.flat.doc_scale is not None:
+            # int8 (SQ8) flat checkpoint: dequantize before clustering —
+            # raw codes carry a 127/rowmax per-row factor that would
+            # distort centroids and inner-product ranking
+            emb = (emb.astype(np.float32)
+                   * np.asarray(dense.flat.doc_scale)[: dense.flat.n_docs,
+                                                      None])
+            dense.ivf = build_ivf_index(emb, nlist=dense.cfg.ivf_nlist,
+                                        dtype="int8")
+        else:
+            dense.ivf = build_ivf_index(emb.astype(np.float32),
+                                        nlist=dense.cfg.ivf_nlist)
     queries = load_queries(args.queries)
     results = dense.retrieve(queries.queries, k=args.k, use_ivf=args.ivf)
     if queries.positive_docs:

@@ -9,7 +9,25 @@ Returns a structured metrics dict instead of prints.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+import math
+from typing import Callable, Dict, List, Optional, Sequence
+
+
+def _mean_positional_discount(
+    retrieved: Sequence[Sequence[str]], positives: Sequence[str], k: int,
+    discount: Callable[[int], float],
+) -> float:
+    """Mean of ``discount(rank)`` over queries (0 when the positive is not
+    in the top-k; rank is 0-based) — the shape shared by MRR and nDCG."""
+    if not retrieved:
+        return 0.0
+    total = 0.0
+    for r, p in zip(retrieved, positives):
+        try:
+            total += discount(list(r[:k]).index(p))
+        except ValueError:
+            pass
+    return total / len(retrieved)
 
 
 def recall_at_k(
@@ -26,15 +44,8 @@ def mrr_at_k(
     retrieved: Sequence[Sequence[str]], positives: Sequence[str], k: int = 10
 ) -> float:
     """Mean reciprocal rank of the positive doc within the top-k."""
-    if not retrieved:
-        return 0.0
-    total = 0.0
-    for r, p in zip(retrieved, positives):
-        try:
-            total += 1.0 / (list(r[:k]).index(p) + 1)
-        except ValueError:
-            pass
-    return total / len(retrieved)
+    return _mean_positional_discount(retrieved, positives, k,
+                                     lambda r: 1.0 / (r + 1))
 
 
 def ndcg_at_k(
@@ -46,17 +57,8 @@ def ndcg_at_k(
     mean positional discount — strictly between recall@k (position-blind)
     and MRR@k (steeper 1/rank discount).  Beyond the reference's metric
     set; standard IR reporting."""
-    import math
-
-    if not retrieved:
-        return 0.0
-    total = 0.0
-    for r, p in zip(retrieved, positives):
-        try:
-            total += 1.0 / math.log2(list(r[:k]).index(p) + 2)
-        except ValueError:
-            pass
-    return total / len(retrieved)
+    return _mean_positional_discount(retrieved, positives, k,
+                                     lambda r: 1.0 / math.log2(r + 2))
 
 
 def macro_f1(
@@ -102,7 +104,8 @@ def evaluate_retrieval(
     for k in ks:
         report[f"recall@{k}"] = recall_at_k(retrieved, positives, k)
         report[f"mrr@{k}"] = mrr_at_k(retrieved, positives, k)
-    report[f"ndcg@{max(ks)}"] = ndcg_at_k(retrieved, positives, max(ks))
+    if ks:
+        report[f"ndcg@{max(ks)}"] = ndcg_at_k(retrieved, positives, max(ks))
     report["macro_f1@1"] = macro_f1(retrieved, positives)
     if langs is not None:
         kmax = max(ks)

@@ -38,6 +38,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _sq8_quantize(x: np.ndarray, axis: int):
+    """Symmetric per-slice int8 quantization: ``x ≈ codes * scale`` with
+    the scale taken over ``axis`` (rows for flat indexes, the embedding
+    dim for IVF bucket entries).  All-zero slices get scale 0 and stay
+    exactly zero."""
+    vmax = np.abs(x).max(axis=axis, keepdims=True)
+    scale = vmax / 127.0
+    inv = np.where(scale > 0, 1.0 / np.maximum(scale, 1e-30), 0.0)
+    codes = np.rint(x * inv).astype(np.int8)
+    return codes, np.squeeze(scale, axis=axis).astype(np.float32)
+
+
 def _pad_target(n: int, batch: int) -> int:
     """Pad encoder batches to a power of two (min 32, capped at ``batch``) so
     tiny inputs don't pay a full-batch transformer forward while compile
@@ -154,12 +166,9 @@ def build_flat_index(embeddings: np.ndarray, pad_multiple: int = 128,
         sq[:n] = (embeddings.astype(np.float64) ** 2).sum(1).astype(np.float32)
         doc_sq = jnp.asarray(sq)
     if dtype == "int8":
-        rowmax = np.abs(e).max(axis=1)
-        scale = rowmax / 127.0
-        inv = np.where(scale > 0, 1.0 / np.maximum(scale, 1e-30), 0.0)
-        e8 = np.rint(e * inv[:, None]).astype(np.int8)
+        e8, scale = _sq8_quantize(e, axis=1)
         return FlatIndex(embeddings=jnp.asarray(e8), doc_sq=doc_sq,
-                         doc_scale=jnp.asarray(scale.astype(np.float32)),
+                         doc_scale=jnp.asarray(scale),
                          n_docs=n, metric=metric)
     return FlatIndex(embeddings=jnp.asarray(e).astype(jnp.bfloat16),
                      doc_sq=doc_sq, n_docs=n, metric=metric)
@@ -232,11 +241,8 @@ def build_ivf_index(
         fill[c] += 1
     scale = None
     if dtype == "int8":
-        vmax = np.abs(buckets).max(axis=2)                  # (nlist, Bp)
-        sc = vmax / 127.0
-        inv = np.where(sc > 0, 1.0 / np.maximum(sc, 1e-30), 0.0)
-        buckets = np.rint(buckets * inv[..., None]).astype(np.int8)
-        scale = jnp.asarray(sc.astype(np.float32))
+        buckets, sc = _sq8_quantize(buckets, axis=2)        # per bucket entry
+        scale = jnp.asarray(sc)
     return IvfIndex(
         centroids=cent,
         buckets=jnp.asarray(buckets),

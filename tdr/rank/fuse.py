@@ -15,14 +15,14 @@ The reference has no ensembling — its runs pick ONE engine per submission
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 RRF_K = 60   # the paper's constant; flat optimum in practice
 
 
 def rrf_fuse(rankings: Sequence[Sequence[Sequence[str]]],
              k: int = 10, rrf_k: int = RRF_K,
-             weights: Sequence[float] = None) -> List[List[str]]:
+             weights: Optional[Sequence[float]] = None) -> List[List[str]]:
     """Fuse per-engine rankings into one top-k list per query.
 
     ``rankings[e][q]`` is engine ``e``'s ranked docid list for query ``q``
