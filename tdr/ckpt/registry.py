@@ -378,7 +378,26 @@ def save_segmented(path: str, seg) -> None:
     checkpoint, plus the delta's SOURCE documents (token lists) and the
     tombstone set as JSON — the delta index itself is a cheap rebuild at
     load (it is small by construction; its global-stat derivation must
-    re-run against the restored main anyway)."""
+    re-run against the restored main anyway).
+
+    Crash-safe: everything is written to a sibling temp dir and swapped
+    in with renames, so a kill mid-save leaves either the old complete
+    state or the new complete state — never a half-written directory."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    _write_segmented(tmp, seg)
+    old = f"{path}.old-{os.getpid()}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _write_segmented(path: str, seg) -> None:
     os.makedirs(path, exist_ok=True)
     save_sparse_model(os.path.join(path, "main"), seg.main)
     state = {

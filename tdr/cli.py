@@ -126,8 +126,14 @@ def _cmd_serve(args) -> int:
         models = {}
         if state_dir and os.path.isdir(state_dir):
             for l in sorted(os.listdir(state_dir)):
-                if os.path.isdir(os.path.join(state_dir, l)):
-                    models[l] = load_segmented(os.path.join(state_dir, l))
+                p = os.path.join(state_dir, l)
+                if not os.path.isdir(p):
+                    continue
+                try:
+                    models[l] = load_segmented(p)
+                except Exception as e:   # noqa: BLE001 — fall back per lang
+                    log.warning("could not restore %s state (%s); "
+                                "falling back to the registry index", l, e)
             if models:
                 log.info("restored mutable state for %s from %s",
                          sorted(models), state_dir)
