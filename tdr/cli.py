@@ -82,6 +82,63 @@ def _cmd_retrieve(args) -> int:
     return 0
 
 
+def _load_mutable_models(args, log):
+    """Segmented (live-updatable) models for serve/update: restore from
+    --state-dir where present, wrap the registry index elsewhere.
+
+    Delta segments must build with the SAME BM25/index config as the main
+    index or cross-segment scores drift — the build CLI echoes its config
+    into the registry manifest; read it back here."""
+    import dataclasses as _dc
+
+    from tdr.ckpt import load_segmented, load_sparse_model
+    from tdr.rank import SegmentedBM25
+    from tdr.utils.config import TdrConfig
+
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        manifest = json.load(f)
+    cfg_echo = manifest.get("extra", {}).get("config")
+    tcfg = (TdrConfig.from_json(json.dumps(cfg_echo)) if cfg_echo
+            else TdrConfig())
+    state_dir = getattr(args, "state_dir", None)
+    models = {}
+    if state_dir and os.path.isdir(state_dir):
+        for l in sorted(os.listdir(state_dir)):
+            p = os.path.join(state_dir, l)
+            if not os.path.isdir(p):
+                continue
+            try:
+                models[l] = load_segmented(p)
+            except Exception as e:   # noqa: BLE001 — fall back per lang
+                log.warning("could not restore %s state (%s); "
+                            "falling back to the registry index", l, e)
+        if models:
+            log.info("restored mutable state for %s from %s",
+                     sorted(models), state_dir)
+    # registry languages without saved state wrap fresh (covers the
+    # first run, a pre-created empty state dir, and partial state);
+    # load per language so restored ones are not loaded twice
+    for l in manifest["languages"]:
+        if l not in models:
+            models[l] = SegmentedBM25(
+                main=load_sparse_model(os.path.join(args.index, l)),
+                lang=l, bm25=tcfg.bm25, index_cfg=tcfg.index)
+    if getattr(args, "spell_correct", False):
+        for m in models.values():
+            m.main = _dc.replace(m.main, spell_correct=True)
+            if m.delta is not None:
+                m._rebuild_delta()   # propagate spell into the delta
+    return models
+
+
+def _save_mutable_models(models, state_dir, log):
+    from tdr.ckpt import save_segmented
+
+    for l, m in models.items():
+        save_segmented(os.path.join(state_dir, l), m)
+    log.info("saved mutable state to %s", state_dir)
+
+
 def _cmd_serve(args) -> int:
     """Long-running JSON-lines server over stdin/stdout.
 
@@ -104,52 +161,7 @@ def _cmd_serve(args) -> int:
     if not getattr(args, "mutable", False):
         models = _apply_spell(load_registry(args.index), args)
     else:
-        # live updates: wrap every language in a Lucene-style segmented
-        # model (tdr.rank.segmented) — adds/deletes apply between query
-        # batches, in request order.  --state-dir makes mutations durable:
-        # restored on startup, saved on clean shutdown (EOF).
-        import dataclasses as _dc
-
-        from tdr.ckpt import load_segmented, load_sparse_model
-        from tdr.rank import SegmentedBM25
-        from tdr.utils.config import TdrConfig
-
-        with open(os.path.join(args.index, "manifest.json")) as f:
-            manifest = json.load(f)
-        # delta segments must build with the SAME BM25/index config as the
-        # main index or cross-segment scores drift — the build CLI echoes
-        # its config into the registry manifest; read it back here
-        cfg_echo = manifest.get("extra", {}).get("config")
-        tcfg = (TdrConfig.from_json(json.dumps(cfg_echo)) if cfg_echo
-                else TdrConfig())
-        state_dir = getattr(args, "state_dir", None)
-        models = {}
-        if state_dir and os.path.isdir(state_dir):
-            for l in sorted(os.listdir(state_dir)):
-                p = os.path.join(state_dir, l)
-                if not os.path.isdir(p):
-                    continue
-                try:
-                    models[l] = load_segmented(p)
-                except Exception as e:   # noqa: BLE001 — fall back per lang
-                    log.warning("could not restore %s state (%s); "
-                                "falling back to the registry index", l, e)
-            if models:
-                log.info("restored mutable state for %s from %s",
-                         sorted(models), state_dir)
-        # registry languages without saved state wrap fresh (covers the
-        # first run, a pre-created empty state dir, and partial state);
-        # load per language so restored ones are not loaded twice
-        for l in manifest["languages"]:
-            if l not in models:
-                models[l] = SegmentedBM25(
-                    main=load_sparse_model(os.path.join(args.index, l)),
-                    lang=l, bm25=tcfg.bm25, index_cfg=tcfg.index)
-        if getattr(args, "spell_correct", False):
-            for m in models.values():
-                m.main = _dc.replace(m.main, spell_correct=True)
-                if m.delta is not None:
-                    m._rebuild_delta()   # propagate spell into the delta
+        models = _load_mutable_models(args, log)
     router = LanguageRouter(models, query_batch=args.batch)
     # warm the padded-batch compile for EVERY language before accepting
     # traffic (a first request routed to a cold language would otherwise
@@ -305,11 +317,7 @@ def _cmd_serve(args) -> int:
     def shutdown() -> int:
         state_dir = getattr(args, "state_dir", None)
         if getattr(args, "mutable", False) and state_dir:
-            from tdr.ckpt import save_segmented
-
-            for l, m in models.items():
-                save_segmented(os.path.join(state_dir, l), m)
-            log.info("saved mutable state to %s", state_dir)
+            _save_mutable_models(models, state_dir, log)
         return 0
 
     def handle(line):
@@ -342,6 +350,57 @@ def _cmd_serve(args) -> int:
         flush(buf)
         if eof and not pending:
             return shutdown()
+
+
+def _cmd_update(args) -> int:
+    """Batch live updates: apply a JSONL of add/delete requests (the serve
+    --mutable request schema) to a segmented state dir, without running a
+    server.  The registry index itself is never modified — updates
+    accumulate in the state dir until a rebuild/compaction.
+
+        tdr update --index idx/ --state-dir live/ --updates updates.jsonl
+    """
+    from tdr.rank import LanguageRouter
+    from tdr.text.langid import detect_language
+    from tdr.utils.trace import log
+
+    args.mutable = True
+    models = _load_mutable_models(args, log)
+    router = LanguageRouter(models)   # preprocessor + default_lang routing
+    n_add = n_del = n_err = 0
+    with open(args.updates) as f:
+        for ln, line in enumerate(f, 1):
+            if not line.strip():
+                continue
+            try:
+                r = json.loads(line)
+                if "add" in r:
+                    a = r["add"]
+                    lang = a.get("lang") or ""
+                    if lang not in models:
+                        lang = detect_language(a["text"],
+                                               default=router.default_lang)
+                    if lang not in models:
+                        lang = (router.default_lang
+                                if router.default_lang in models
+                                else sorted(models)[0])
+                    toks = router.preprocessor(a["text"], lang)
+                    models[lang].add_documents([toks], [a["docid"]])
+                    n_add += 1
+                elif "delete" in r:
+                    d = r["delete"]
+                    ids = [d] if isinstance(d, str) else list(d)
+                    for m in models.values():
+                        m.delete_documents(ids)
+                    n_del += len(ids)
+                else:
+                    raise ValueError("line must have 'add' or 'delete'")
+            except Exception as e:   # noqa: BLE001 — report, keep applying
+                log.warning("updates line %d failed: %s", ln, e)
+                n_err += 1
+    _save_mutable_models(models, args.state_dir, log)
+    log.info("applied %d adds, %d deletes (%d errors)", n_add, n_del, n_err)
+    return 0 if n_err == 0 else 1
 
 
 def _cmd_eval(args) -> int:
@@ -601,6 +660,17 @@ def main(argv=None) -> int:
                          "request lines (Lucene-style segments, "
                          "tdr.rank.segmented); applied in request order")
     sv.set_defaults(fn=_cmd_serve)
+
+    u = sub.add_parser("update", help="apply a JSONL of add/delete "
+                                      "requests to a segmented state dir")
+    u.add_argument("--index", required=True)
+    u.add_argument("--state-dir", required=True, dest="state_dir")
+    u.add_argument("--updates", required=True,
+                   help="JSONL file; one serve-style add/delete per line")
+    u.add_argument("--spell-correct", action="store_true",
+                   help="repair out-of-vocabulary query terms by trigram "
+                        "vocabulary matching (tdr.text.spell) before scoring")
+    u.set_defaults(fn=_cmd_update)
 
     v = sub.add_parser("validate", help="validate a submission csv")
     v.add_argument("--submission", required=True)

@@ -480,3 +480,44 @@ def test_cli_serve_mutation_error_keeps_server_alive(tmp_path):
     results = [r for r in out if "docids" in r]
     assert len(results) == 1 and results[0]["docids"]
     assert len(out) == 3
+
+
+def test_cli_update_batch(tmp_path):
+    """tdr update: apply a JSONL of add/delete to a state dir; a fresh
+    load sees the adds minus the deletes; bad lines are reported via a
+    nonzero exit without aborting the batch."""
+    import json as _json
+
+    from tdr.cli import main
+    from tdr.ckpt import load_segmented, save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, _ = synthetic_corpus(
+        SyntheticSpec(n_docs=120, n_queries=4, seed=10, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    idx = str(tmp_path / "idx")
+    save_registry(idx, models)
+    updates = str(tmp_path / "u.jsonl")
+    with open(updates, "w") as f:
+        f.write(_json.dumps({"add": {"docid": "u1", "text": "wombat numbat",
+                                     "lang": "en"}}) + "\n")
+        f.write(_json.dumps({"add": {"docid": "u2", "text": "quokka wallaby",
+                                     "lang": "en"}}) + "\n")
+        f.write(_json.dumps({"delete": "u1"}) + "\n")
+    state = str(tmp_path / "live")
+    assert main(["update", "--index", idx, "--state-dir", state,
+                 "--updates", updates]) == 0
+    seg = load_segmented(os.path.join(state, "en"))
+    assert seg.retrieve_tokens([["quokka"]], k=3)[0][0] == "u2"
+    assert "u1" not in seg.retrieve_tokens([["wombat"]], k=3)[0]
+
+    # a malformed line fails that line only and exits nonzero
+    with open(updates, "a") as f:
+        f.write('{"neither": 1}\n')
+    assert main(["update", "--index", idx, "--state-dir", state,
+                 "--updates", updates]) == 1
