@@ -9,6 +9,7 @@ from tdr.ckpt.registry import (
     load_train_state,
     save_segmented,
     load_segmented,
+    recover_segmented_dir,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "load_train_state",
     "save_segmented",
     "load_segmented",
+    "recover_segmented_dir",
 ]

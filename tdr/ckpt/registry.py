@@ -380,14 +380,19 @@ def save_segmented(path: str, seg) -> None:
     load (it is small by construction; its global-stat derivation must
     re-run against the restored main anyway).
 
-    Crash-safe: everything is written to a sibling temp dir and swapped
-    in with renames, so a kill mid-save leaves either the old complete
-    state or the new complete state — never a half-written directory."""
-    parent = os.path.dirname(os.path.abspath(path)) or "."
+    Crash-safe: everything is written to a dot-prefixed sibling temp dir
+    and swapped in with renames.  A kill mid-save leaves either the old
+    complete state, the new complete state, or (in the window between the
+    two renames) the old state parked under ``.<name>.old-*`` — which
+    ``recover_segmented_dir`` renames back on the next startup.  The
+    dot prefix keeps restore loops from ever treating swap debris as a
+    language directory."""
+    parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
-    tmp = f"{path}.tmp-{os.getpid()}"
+    base = os.path.basename(path)
+    tmp = os.path.join(parent, f".{base}.tmp-{os.getpid()}")
     _write_segmented(tmp, seg)
-    old = f"{path}.old-{os.getpid()}"
+    old = os.path.join(parent, f".{base}.old-{os.getpid()}")
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
@@ -395,6 +400,29 @@ def save_segmented(path: str, seg) -> None:
         import shutil
 
         shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_segmented_dir(parent: str) -> None:
+    """Repair swap debris from a save_segmented killed mid-swap: for any
+    ``.<name>.old-*`` whose ``<name>`` directory is missing, rename the
+    parked old state back; delete leftover ``.tmp-*``/orphaned ``.old-*``
+    dirs.  Call before listing ``parent`` for state directories."""
+    import re
+    import shutil
+
+    if not os.path.isdir(parent):
+        return
+    for entry in sorted(os.listdir(parent)):
+        m = re.fullmatch(r"\.(.+)\.old-\d+", entry)
+        if m:
+            target = os.path.join(parent, m.group(1))
+            if not os.path.exists(target):
+                os.rename(os.path.join(parent, entry), target)
+            else:
+                shutil.rmtree(os.path.join(parent, entry),
+                              ignore_errors=True)
+        elif re.fullmatch(r"\..+\.tmp-\d+", entry):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 
 def _write_segmented(path: str, seg) -> None:

@@ -103,15 +103,28 @@ def _load_mutable_models(args, log):
     state_dir = getattr(args, "state_dir", None)
     models = {}
     if state_dir and os.path.isdir(state_dir):
+        from tdr.ckpt import recover_segmented_dir
+
+        recover_segmented_dir(state_dir)   # repair mid-swap crash debris
         for l in sorted(os.listdir(state_dir)):
             p = os.path.join(state_dir, l)
-            if not os.path.isdir(p):
-                continue
+            if l.startswith(".") or not os.path.isdir(p):
+                continue   # swap/corrupt debris is dot-prefixed — never state
             try:
                 models[l] = load_segmented(p)
             except Exception as e:   # noqa: BLE001 — fall back per lang
-                log.warning("could not restore %s state (%s); "
-                            "falling back to the registry index", l, e)
+                # PRESERVE the unreadable state (the shutdown save would
+                # otherwise overwrite it with a fresh registry wrap and
+                # destroy every accumulated update) and fall back
+                import time as _time
+
+                quarantine = os.path.join(
+                    state_dir, f".{l}.corrupt-{int(_time.time())}")
+                os.rename(p, quarantine)
+                log.warning(
+                    "could not restore %s state (%s); preserved it at %s "
+                    "and falling back to the registry index", l, e,
+                    quarantine)
         if models:
             log.info("restored mutable state for %s from %s",
                      sorted(models), state_dir)
@@ -137,6 +150,20 @@ def _save_mutable_models(models, state_dir, log):
     for l, m in models.items():
         save_segmented(os.path.join(state_dir, l), m)
     log.info("saved mutable state to %s", state_dir)
+
+
+def _route_add_lang(models, router, text: str, lang: str) -> str:
+    """Resolve the language an added document lands in: explicit when it
+    names a loaded model, else detection, else a loaded default."""
+    if lang in models:
+        return lang
+    from tdr.text.langid import detect_language
+
+    lang = detect_language(text, default=router.default_lang)
+    if lang in models:
+        return lang
+    return (router.default_lang if router.default_lang in models
+            else sorted(models)[0])
 
 
 def _cmd_serve(args) -> int:
@@ -232,17 +259,8 @@ def _cmd_serve(args) -> int:
         try:
             if r["_op"] == "add":
                 a = r["add"]
-                lang = a.get("lang") or ""
-                if lang not in models:
-                    from tdr.text.langid import detect_language
-
-                    lang = detect_language(a["text"],
-                                           default=router.default_lang)
-                if lang not in models:
-                    # default_lang may itself be absent from this registry
-                    lang = (router.default_lang
-                            if router.default_lang in models
-                            else sorted(models)[0])
+                lang = _route_add_lang(models, router, a["text"],
+                                       a.get("lang") or "")
                 toks = router.preprocessor(a["text"], lang)
                 models[lang].add_documents([toks], [a["docid"]])
                 emit({"added": a["docid"], "lang": lang})
@@ -361,13 +379,23 @@ def _cmd_update(args) -> int:
         tdr update --index idx/ --state-dir live/ --updates updates.jsonl
     """
     from tdr.rank import LanguageRouter
-    from tdr.text.langid import detect_language
     from tdr.utils.trace import log
 
-    args.mutable = True
     models = _load_mutable_models(args, log)
     router = LanguageRouter(models)   # preprocessor + default_lang routing
     n_add = n_del = n_err = 0
+    # coalesce consecutive adds per language (flushed before any delete):
+    # each add_documents call rebuilds the whole delta, so per-line adds
+    # would be O(N^2) in the batch size
+    pending = {}
+
+    def flush_adds():
+        nonlocal n_add
+        for lang, (toks, ids) in pending.items():
+            models[lang].add_documents(toks, ids)
+            n_add += len(ids)
+        pending.clear()
+
     with open(args.updates) as f:
         for ln, line in enumerate(f, 1):
             if not line.strip():
@@ -376,20 +404,27 @@ def _cmd_update(args) -> int:
                 r = json.loads(line)
                 if "add" in r:
                     a = r["add"]
-                    lang = a.get("lang") or ""
-                    if lang not in models:
-                        lang = detect_language(a["text"],
-                                               default=router.default_lang)
-                    if lang not in models:
-                        lang = (router.default_lang
-                                if router.default_lang in models
-                                else sorted(models)[0])
-                    toks = router.preprocessor(a["text"], lang)
-                    models[lang].add_documents([toks], [a["docid"]])
-                    n_add += 1
+                    if (not isinstance(a, dict)
+                            or not isinstance(a.get("docid"), str)
+                            or not isinstance(a.get("text"), str)
+                            or not isinstance(a.get("lang", ""), str)):
+                        raise ValueError(
+                            "'add' needs string docid and text "
+                            "(optional string lang)")
+                    lang = _route_add_lang(models, router, a["text"],
+                                           a.get("lang") or "")
+                    toks, ids = pending.setdefault(lang, ([], []))
+                    toks.append(router.preprocessor(a["text"], lang))
+                    ids.append(a["docid"])
                 elif "delete" in r:
                     d = r["delete"]
-                    ids = [d] if isinstance(d, str) else list(d)
+                    ids = [d] if isinstance(d, str) else d
+                    if not (isinstance(ids, list)
+                            and all(isinstance(x, str) for x in ids)):
+                        raise ValueError(
+                            "'delete' must be a docid string or a list "
+                            "of docid strings")
+                    flush_adds()   # mutations apply in file order
                     for m in models.values():
                         m.delete_documents(ids)
                     n_del += len(ids)
@@ -398,6 +433,7 @@ def _cmd_update(args) -> int:
             except Exception as e:   # noqa: BLE001 — report, keep applying
                 log.warning("updates line %d failed: %s", ln, e)
                 n_err += 1
+    flush_adds()
     _save_mutable_models(models, args.state_dir, log)
     log.info("applied %d adds, %d deletes (%d errors)", n_add, n_del, n_err)
     return 0 if n_err == 0 else 1
@@ -667,9 +703,6 @@ def main(argv=None) -> int:
     u.add_argument("--state-dir", required=True, dest="state_dir")
     u.add_argument("--updates", required=True,
                    help="JSONL file; one serve-style add/delete per line")
-    u.add_argument("--spell-correct", action="store_true",
-                   help="repair out-of-vocabulary query terms by trigram "
-                        "vocabulary matching (tdr.text.spell) before scoring")
     u.set_defaults(fn=_cmd_update)
 
     v = sub.add_parser("validate", help="validate a submission csv")

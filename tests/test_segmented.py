@@ -2,6 +2,8 @@
 add/delete without a full rebuild, which the reference's frozen pickle
 pipeline cannot do at all (final_implementation.py:187-287 only loads)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -221,3 +223,47 @@ class TestUpdateSemantics:
         assert "d6" not in loaded.retrieve_tokens([["sig_6"]], k=5)[0]
         assert loaded.retrieve_tokens([["usig_6"]], k=1)[0] == ["d6"]
         assert "d1" not in loaded.retrieve_tokens([["sig_1"]], k=5)[0]
+
+
+class TestCrashSafety:
+    def test_save_is_atomic_replace(self, tmp_path, seg):
+        from tdr.ckpt import load_segmented, save_segmented
+
+        s, toks, ids, rng = seg
+        path = str(tmp_path / "st" / "en")
+        save_segmented(path, s)
+        s.add_documents([["newer", "csig"]], ["c1"])
+        save_segmented(path, s)          # replace existing state
+        loaded = load_segmented(path)
+        assert "c1" in loaded.docids
+        # no swap debris left behind
+        assert [e for e in os.listdir(str(tmp_path / "st"))
+                if e != "en"] == []
+
+    def test_recover_mid_swap(self, tmp_path, seg):
+        """Simulate a kill between the two swap renames: the state sits
+        under .<name>.old-* and the name is missing — recovery restores
+        it."""
+        from tdr.ckpt import (load_segmented, recover_segmented_dir,
+                              save_segmented)
+
+        s, toks, ids, rng = seg
+        parent = str(tmp_path / "st2")
+        path = os.path.join(parent, "en")
+        save_segmented(path, s)
+        os.rename(path, os.path.join(parent, ".en.old-12345"))
+        assert not os.path.exists(path)
+        recover_segmented_dir(parent)
+        assert os.path.exists(path)
+        assert load_segmented(path).docids == s.docids
+
+    def test_tmp_debris_cleared(self, tmp_path, seg):
+        from tdr.ckpt import recover_segmented_dir, save_segmented
+
+        s, toks, ids, rng = seg
+        parent = str(tmp_path / "st3")
+        save_segmented(os.path.join(parent, "en"), s)
+        os.makedirs(os.path.join(parent, ".en.tmp-999"))
+        recover_segmented_dir(parent)
+        assert ".en.tmp-999" not in os.listdir(parent)
+
