@@ -521,3 +521,24 @@ def test_cli_update_batch(tmp_path):
         f.write('{"neither": 1}\n')
     assert main(["update", "--index", idx, "--state-dir", state,
                  "--updates", updates]) == 1
+
+
+def test_route_add_lang_cascade():
+    """Add-routing: explicit loaded lang wins; unknown lang falls to
+    detection; detected-but-unloaded falls to default; absent default
+    falls to any loaded model."""
+    from types import SimpleNamespace
+
+    from tdr.cli import _route_add_lang
+
+    router = SimpleNamespace(default_lang="en")
+    models_fr = {"fr": object()}
+    models_enfr = {"en": object(), "fr": object()}
+    # explicit loaded language wins
+    assert _route_add_lang(models_enfr, router, "hello world", "fr") == "fr"
+    # unknown explicit code → detection (english text detects en)
+    assert _route_add_lang(
+        models_enfr, router, "the quick brown fox jumps", "xx") == "en"
+    # detection result not loaded, default not loaded → any loaded model
+    assert _route_add_lang(
+        models_fr, router, "the quick brown fox jumps", "") == "fr"
