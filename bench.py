@@ -39,6 +39,58 @@ BASELINE_RECALL = 0.77599       # reference Kaggle Recall@10 (real data; the
                                 # is reported so regressions are visible)
 
 
+def _fail_json(error: str, **extra) -> None:
+    """Emit ONE clean parseable JSON line and exit nonzero (VERDICT r3 #1b:
+    BENCH_r03 was a multi-minute stack trace with parsed=null; a down tunnel
+    must cost seconds and leave a machine-readable tail)."""
+    print(json.dumps({
+        "metric": "bm25_retrieval_queries_per_sec",
+        "value": None,
+        "unit": "queries/sec",
+        "vs_baseline": None,
+        "error": error,
+        "extra": extra,
+    }), flush=True)
+    sys.exit(2)
+
+
+def _probe_backend(timeout_s: float = 120.0) -> str:
+    """Probe the jax backend in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel has two failure modes (CLAUDE.md): backend init
+    raises Unavailable, or jax.devices() hangs forever — in THIS process a
+    hang would be unkillable from Python.  A subprocess probe converts both
+    into a fast, attributable failure.  Returns the backend name on success.
+    """
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return "cpu"   # smoke runs stay off the TPU; nothing to probe
+    import subprocess
+
+    code = ("import jax; "
+            "print('BACKEND=' + jax.default_backend() + "
+            "':' + str(len(jax.devices())))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        _fail_json("tpu_unavailable",
+                   detail=f"backend probe hung >{timeout_s:.0f}s "
+                          f"(tunnel down, jax.devices() stall)")
+    if p.returncode != 0:
+        tail = (p.stderr or "").strip().splitlines()[-1:]
+        _fail_json("tpu_unavailable",
+                   detail=f"backend probe rc={p.returncode}",
+                   probe_tail=tail)
+    for line in p.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            backend = line.split("=", 1)[1].split(":")[0]
+            print(f"[bench] backend probe OK: {line.split('=', 1)[1]}",
+                  file=sys.stderr, flush=True)
+            return backend
+    _fail_json("tpu_unavailable", detail="probe printed no backend line")
+    raise AssertionError("unreachable")
+
+
 def _kernel_roofline(model, batch: int, peak_gbps: float,
                      peak_tflops: float = 197.0):
     """Time the fused device scoring pass on one index against a byte AND
@@ -258,7 +310,11 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
         "cascade_n_docs": n_docs,
         "cascade_n_queries": n_queries,
     }
-    del cas, cand, rank, coo, res    # release stage indexes before sentences
+    # release stage indexes before sentences (NB: `coo` only exists on the
+    # fast-encode branch — ADVICE r3: del'ing it unconditionally crashed the
+    # pure-Python fallback)
+    del cas, cand, rank, res
+    coo = None
 
     # sentence-LM cascade at >=500k sentences: small trained encoder,
     # corpus-wide precomputed embeddings.  n_dev extra queries form a DEV
@@ -477,6 +533,8 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
 
 
 def main() -> None:
+    _probe_backend()   # fail fast + clean if the TPU tunnel is down
+
     from tdr.utils.jax_cache import enable as enable_jax_cache
 
     enable_jax_cache()
@@ -699,4 +757,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:   # noqa: BLE001 — keep the driver tail clean
+        import traceback
+
+        traceback.print_exc()    # full trace to stderr for humans
+        sys.stderr.flush()
+        print(json.dumps({
+            "metric": "bm25_retrieval_queries_per_sec",
+            "value": None,
+            "unit": "queries/sec",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }), flush=True)
+        sys.exit(1)

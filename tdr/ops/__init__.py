@@ -3,6 +3,7 @@ from tdr.ops.score import (
     score_and_topk,
     score_and_topk_fused,
     score_pairs,
+    topk_language_filtered,
     topk_masked,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "score_and_topk",
     "score_and_topk_fused",
     "score_pairs",
+    "topk_language_filtered",
     "topk_masked",
 ]

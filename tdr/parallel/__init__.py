@@ -4,6 +4,7 @@ from tdr.parallel.sharded import (
     ShardedSparseIndex,
     build_sharded_index,
     sharded_score_topk,
+    spmd_global_stats,
     dp_score_topk,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "ShardedSparseIndex",
     "build_sharded_index",
     "sharded_score_topk",
+    "spmd_global_stats",
     "dp_score_topk",
 ]

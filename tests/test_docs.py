@@ -26,17 +26,74 @@ def test_parity_test_citations_resolve():
 
 
 def test_module_paths_in_parity_exist():
-    """`tdr.x.y` module references in PARITY must be importable paths."""
+    """`tdr.x.y` module references in PARITY must be importable paths, and
+    `tdr.x.y.attr` references must resolve to a real attribute (ADVICE r3:
+    a stale symbol name passed the path-only check)."""
+    import importlib
+
     s = open(os.path.join(REPO, "PARITY.md")).read()
     mods = sorted(set(re.findall(r"`(tdr(?:\.\w+)+)`", s)))
     missing = []
     for m in mods:
         parts = m.split(".")
-        # accept module paths and module.attr paths
         for depth in (len(parts), len(parts) - 1):
             p = os.path.join(REPO, *parts[:depth])
             if os.path.isdir(p) or os.path.exists(p + ".py"):
+                if depth < len(parts):   # module.attr form: resolve the attr
+                    mod = importlib.import_module(".".join(parts[:depth]))
+                    if not hasattr(mod, parts[depth]):
+                        missing.append(f"{m} (attr)")
                 break
         else:
             missing.append(m)
     assert not missing, missing
+
+
+def _cited_artifacts(*doc_names):
+    cites = {}
+    for doc in doc_names:
+        s = open(os.path.join(REPO, doc)).read()
+        for name in re.findall(r"((?:BENCH|MULTICHIP)_r\d+\.json)", s):
+            cites.setdefault(name, set()).add(doc)
+    return cites
+
+
+def test_artifact_citations_are_green():
+    """Every driver artifact named in README/ARCHITECTURE must exist AND be
+    green (VERDICT r3 weak #1: README.md cited BENCH_r03.json — an rc=1
+    stack trace — as 'the number of record').  Red artifacts may exist in
+    the repo for the record, but the docs may not cite them as evidence."""
+    import json
+
+    cites = _cited_artifacts("README.md", "ARCHITECTURE.md")
+    assert cites, "docs cite no driver artifacts — the perf story needs one"
+    bad = []
+    for name, docs in sorted(cites.items()):
+        path = os.path.join(REPO, name)
+        if not os.path.exists(path):
+            bad.append(f"{name} (missing, cited in {sorted(docs)})")
+            continue
+        art = json.load(open(path))
+        if name.startswith("BENCH"):
+            if art.get("rc") != 0 or not art.get("parsed"):
+                bad.append(f"{name} (rc={art.get('rc')}, not green)")
+        else:
+            if not art.get("ok"):
+                bad.append(f"{name} (ok={art.get('ok')}, not green)")
+    assert not bad, bad
+
+
+def test_readme_quotes_the_cited_headline_number():
+    """The README must quote the ACTUAL parsed headline of the green bench
+    artifact it names — not a number from an uncaptured run."""
+    import json
+
+    readme = open(os.path.join(REPO, "README.md")).read()
+    benches = [n for n in _cited_artifacts("README.md") if n.startswith("BENCH")]
+    assert benches, "README cites no BENCH artifact"
+    for name in benches:
+        art = json.load(open(os.path.join(REPO, name)))
+        v = art["parsed"]["value"]
+        assert f"{v:,.2f}" in readme or f"{round(v):,}" in readme, (
+            f"README cites {name} but quotes neither {v:,.2f} nor "
+            f"{round(v):,} from its parsed value")
