@@ -1,3 +1,9 @@
+from tdr.parallel.dense import (
+    ShardedFlatIndex,
+    build_sharded_flat_index,
+    sharded_flat_search,
+    sharded_row_to_doc,
+)
 from tdr.parallel.mesh import make_mesh, data_sharding, replicated
 from tdr.parallel.pipeline import PipelinedCascade
 from tdr.parallel.sharded import (
@@ -13,6 +19,10 @@ __all__ = [
     "data_sharding",
     "replicated",
     "PipelinedCascade",
+    "ShardedFlatIndex",
+    "build_sharded_flat_index",
+    "sharded_flat_search",
+    "sharded_row_to_doc",
     "ShardedSparseIndex",
     "build_sharded_index",
     "sharded_score_topk",
