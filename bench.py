@@ -567,11 +567,43 @@ def _latency_bench(router, queries, n: int = 30) -> dict:
         samples.append(time.perf_counter() - t0)
     samples.sort()
     p50 = samples[len(samples) // 2]
+
+    # Q=1 kernel share (VERDICT r3 #6 decomposition): with the small-batch
+    # compile buckets a single query rides a Q=1 pass whose dominant cost
+    # is the Q-independent head read — physics, not framework.  Time it
+    # pipelined on the largest partition so
+    # p50 − floor − kernel  isolates the ACTUAL framework overhead
+    # (tokenize + encode + pack + result decode).
+    from tdr.ops.score import score_and_topk_fused
+
+    big = max(router.models, key=lambda l: router.models[l].index.n_docs)
+    model = router.models[big]
+    index = model.index
+    rng = np.random.RandomState(3)
+    T = model.max_query_terms
+    engine = model._resolved_tail_engine()
+    kb = []
+    for _ in range(33):
+        qids = jnp.asarray(rng.randint(0, index.vocab_size, (1, T)), jnp.int32)
+        qw = jnp.zeros((1, T), jnp.float32).at[:, :6].set(1.0)
+        kb.append((qids, qw))
+    kfn = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
+                                         tail_budget=model.tail_budget,
+                                         tail_engine=engine)
+    jax.block_until_ready(kfn(kb[-1]))
+    t0 = time.perf_counter()
+    outs = [kfn(b) for b in kb[:32]]
+    jax.block_until_ready(outs)
+    kernel_q1 = (time.perf_counter() - t0) / 32
+
     return {
         "single_query_p50_ms": round(p50 * 1e3, 1),
         "single_query_p90_ms": round(samples[int(len(samples) * 0.9)] * 1e3, 1),
         "backend_floor_p50_ms": round(floor_p50 * 1e3, 1),
         "framework_overhead_p50_ms": round((p50 - floor_p50) * 1e3, 1),
+        "kernel_q1_ms": round(kernel_q1 * 1e3, 2),
+        "framework_minus_kernel_p50_ms": round(
+            (p50 - floor_p50 - kernel_q1) * 1e3, 1),
         "latency_samples": len(samples),
     }
 

@@ -190,11 +190,15 @@ def _cmd_serve(args) -> int:
     else:
         models = _load_mutable_models(args, log)
     router = LanguageRouter(models, query_batch=args.batch)
-    # warm the padded-batch compile for EVERY language before accepting
-    # traffic (a first request routed to a cold language would otherwise
-    # block on a jit compile mid-stream)
+    # warm EVERY compile bucket for EVERY language before accepting
+    # traffic (a first request routed to a cold language/shape would
+    # otherwise block on a jit compile mid-stream): the small-batch
+    # buckets (1, 8, ...) serve single queries without paying the full
+    # padded-batch score matrix; the full batch covers window bursts
     for lang in sorted(models):
-        router.retrieve(["warmup"], [lang], k=args.k)
+        for b in sorted({*router.query_buckets, args.batch}):
+            if b <= args.batch:
+                router.retrieve(["warmup"] * b, [lang] * b, k=args.k)
     log.info("serving %d models (batch %d, window %.0f ms%s); one JSON per line",
              len(models), args.batch, args.window_ms,
              ", mutable" if getattr(args, "mutable", False) else "")

@@ -272,6 +272,13 @@ class LanguageRouter:
     default_lang: str = "en"
     detect_missing_lang: bool = True   # fast_langdetect path (team_run1.py:49-77)
     use_native: bool = True            # C++ tokenizer for query preprocessing
+    # small-batch compile buckets (VERDICT r3 #6): a single serving query
+    # used to pad to the full query_batch, paying the (Q, N) score
+    # write/read and a Q-row top-k for Q=query_batch.  Chunks now pad to
+    # the smallest bucket that fits (then query_batch); each bucket is one
+    # extra compile per language (one-time with the persistent cache).
+    # () restores the single-shape behavior.
+    query_buckets: Tuple[int, ...] = (1, 8)
 
     def _tokenize(self, queries: Sequence[str], q_idx: Sequence[int],
                   lang: str) -> List[List[str]]:
@@ -326,25 +333,42 @@ class LanguageRouter:
             for s in range(0, len(q_idx), self.query_batch):
                 chunk = toks[s : s + self.query_batch]
                 sel = q_idx[s : s + self.query_batch]
+                pad_to = self._pad_target(len(chunk))
                 if hasattr(model, "topk_tokens_async"):
                     vals, rows, n = model.topk_tokens_async(
-                        chunk, k, pad_to=self.query_batch)
+                        chunk, k, pad_to=pad_to)
                     pending.append((model, sel, vals, rows, n))
                 else:
                     # sharded models encode + sync internally
-                    vals, rows = model.topk_tokens(chunk, k,
-                                                   pad_to=self.query_batch)
+                    vals, rows = model.topk_tokens(chunk, k, pad_to=pad_to)
                     resolved.append((model, sel, vals, rows))
         # (A grouped-upload variant — encode a whole language group and
         # device_put it once — was built and A/B'd: no reliable win over
         # per-batch uploads on this backend, so the simpler flow stays.)
 
         if pending:
-            vals_all, rows_all = _gather_pending(
-                [p[2] for p in pending], [p[3] for p in pending])
-            for i, (model, sel, _, _, n) in enumerate(pending):
-                resolved.append((model, sel, vals_all[i][:n], rows_all[i][:n]))
+            # mixed-bucket calls produce per-batch arrays of different
+            # shapes; jnp.stack needs uniform shapes, so pack per shape
+            # group (serving loads are one group; the full-fidelity pass
+            # stays one group because every language there exceeds the
+            # largest small bucket)
+            by_shape: Dict[tuple, list] = {}
+            for p in pending:
+                by_shape.setdefault(tuple(p[2].shape), []).append(p)
+            for group in by_shape.values():
+                vals_all, rows_all = _gather_pending(
+                    [p[2] for p in group], [p[3] for p in group])
+                for i, (model, sel, _, _, n) in enumerate(group):
+                    resolved.append(
+                        (model, sel, vals_all[i][:n], rows_all[i][:n]))
         return resolved
+
+    def _pad_target(self, n: int) -> int:
+        """Smallest compile bucket that fits ``n``, else the full batch."""
+        for b in sorted(self.query_buckets):
+            if n <= b < self.query_batch:
+                return b
+        return self.query_batch
 
     @staticmethod
     def _map_docids(model, vals: np.ndarray, rows: np.ndarray) -> List[List[str]]:
