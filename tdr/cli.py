@@ -256,31 +256,63 @@ def _cmd_serve(args) -> int:
         r["k"] = min(k, args.k)
         return r
 
-    def apply_mutation(r):
-        """Add/delete between query batches (request order preserved —
-        callers flush the pending query buffer first).  A failing mutation
-        answers with an error line; it must never kill the server."""
+    # adds arriving within the batching window are COALESCED per language
+    # and applied as one add_documents call (ADVICE r3: every add rebuilds
+    # the whole delta segment, so N streamed single adds cost O(N^2)
+    # re-encodes — the same pending-adds logic as `tdr update`).  Request
+    # ordering is preserved: queries buffered before an add are answered
+    # on the pre-add state (flush(buf) precedes buffering it), queries
+    # after an add see it (flush_adds runs before retrieval), and deletes
+    # force the adds down first.
+    pending_adds: dict = {}   # lang -> ([toks], [docids])
+
+    def buffer_add(r):
+        a = r["add"]
         try:
-            if r["_op"] == "add":
-                a = r["add"]
-                lang = _route_add_lang(models, router, a["text"],
-                                       a.get("lang") or "")
-                toks = router.preprocessor(a["text"], lang)
-                models[lang].add_documents([toks], [a["docid"]])
-                emit({"added": a["docid"], "lang": lang})
-            else:
-                # positional tombstones: a broadcast delete only marks
-                # rows in the language(s) that actually hold the docid
-                for m in models.values():
-                    m.delete_documents(r["delete"])
-                emit({"deleted": r["delete"]})
+            lang = _route_add_lang(models, router, a["text"],
+                                   a.get("lang") or "")
+            toks = router.preprocessor(a["text"], lang)
+        except Exception as e:   # noqa: BLE001 — serve must stay alive
+            emit({"error": f"mutation failed: {e}"})
+            sys.stdout.flush()
+            return
+        t, i = pending_adds.setdefault(lang, ([], []))
+        t.append(toks)
+        i.append(a["docid"])
+
+    def flush_adds():
+        if not pending_adds:
+            return
+        for lang, (toks, ids) in pending_adds.items():
+            try:
+                models[lang].add_documents(toks, ids)
+                log.info("applied %d coalesced adds (%s)", len(ids), lang)
+                for d in ids:
+                    emit({"added": d, "lang": lang})
+            except Exception as e:   # noqa: BLE001
+                emit({"error": f"mutation failed: {e}", "docids": ids})
+        pending_adds.clear()
+        sys.stdout.flush()
+
+    def apply_delete(r):
+        """A failing mutation answers with an error line; it must never
+        kill the server."""
+        try:
+            # positional tombstones: a broadcast delete only marks
+            # rows in the language(s) that actually hold the docid
+            for m in models.values():
+                m.delete_documents(r["delete"])
+            emit({"deleted": r["delete"]})
         except Exception as e:   # noqa: BLE001 — serve must stay alive
             emit({"error": f"mutation failed: {e}"})
         sys.stdout.flush()
 
     def flush(buf):
         if not buf:
+            # no queries to answer — leave pending adds coalescing (the
+            # window loop and shutdown drain them explicitly)
             return
+        flush_adds()   # queries buffered after an add must see it
         queries = [r.get("query", "") for r in buf]
         langs = [r.get("lang") for r in buf]
         t0 = time.perf_counter()
@@ -348,10 +380,16 @@ def _cmd_serve(args) -> int:
         r = parse_request(line.strip())
         if r is None:
             return
-        if "_op" in r:
-            # mutations apply in request order: drain pending queries first
+        if r.get("_op") == "add":
+            # answer pre-add queries on the pre-add state, then coalesce
+            # the add into the window's pending batch
             flush(buf)
-            apply_mutation(r)
+            buffer_add(r)
+        elif r.get("_op") == "delete":
+            # deletes apply in request order: adds + queries go down first
+            flush(buf)
+            flush_adds()
+            apply_delete(r)
         else:
             buf.append(r)
 
@@ -359,10 +397,11 @@ def _cmd_serve(args) -> int:
         line = next_line(None)
         if line is None:
             flush(buf)
+            flush_adds()
             return shutdown()
         handle(line)
         # coalesce: requests already buffered or arriving within the window
-        # share one padded device batch
+        # share one padded device batch (queries) / one delta rebuild (adds)
         deadline = time.perf_counter() + args.window_ms / 1e3
         while len(buf) < args.batch:
             nxt = next_line(max(0.0, deadline - time.perf_counter()))
@@ -370,6 +409,7 @@ def _cmd_serve(args) -> int:
                 break
             handle(nxt)
         flush(buf)
+        flush_adds()   # window end: apply + ack the coalesced adds
         if eof and not pending:
             return shutdown()
 

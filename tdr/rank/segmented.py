@@ -71,6 +71,9 @@ class SegmentedBM25:
     # stable: main is immutable, the delta is append-only until compaction.
     _dead_rows: Set[int] = field(default_factory=set)
     _pos: Optional[dict] = None   # docid -> [positions], built lazily
+    # queries whose post-tombstone top-k may have lost live docs past the
+    # candidate margin (see topk_tokens) — a nonzero count says compact
+    truncated_queries: int = 0
 
     def _positions(self) -> dict:
         if self._pos is None:
@@ -209,12 +212,22 @@ class SegmentedBM25:
         are dispatched before anything is pulled, and all results come
         back in ONE packed device→host transfer (`_gather_pending` — each
         extra sync is a full RPC round trip on tunnel backends)."""
-        # extra candidates cover rows the tombstone filter removes; FIXED
-        # at 64 when any tombstone exists so k_seg stays one of two jit
-        # compile keys (a per-delete k_seg would recompile the main-segment
+        # extra candidates cover rows the tombstone filter removes.  The
+        # margin scales with the tombstone count over a SMALL set of
+        # buckets (a per-delete k_seg would recompile the main-segment
         # kernel on every distinct tombstone count — 30-190 s per shape on
-        # a remote compiler)
-        k_seg = k + (64 if self._dead_rows else 0)
+        # a remote compiler); heavy churn past the largest bucket is
+        # flagged below so callers know to compact (ADVICE r3: a fixed 64
+        # silently dropped live docs under hot-topic delete/re-add churn)
+        n_dead = len(self._dead_rows)
+        if n_dead == 0:
+            k_seg = k
+        elif n_dead <= 48:
+            k_seg = k + 64
+        elif n_dead <= 192:
+            k_seg = k + 256
+        else:
+            k_seg = k + 1024
         vm, rm, nm = self.main.topk_tokens_async(token_lists, k_seg,
                                                  pad_to=pad_to)
         from tdr.rank.router import _gather_pending
@@ -238,6 +251,22 @@ class SegmentedBM25:
             dead = (np.isin(rows, np.fromiter(self._dead_rows, np.int64))
                     & np.isfinite(vals))
             vals = np.where(dead, -np.inf, vals)
+            # truncation detection: a row whose SURVIVING candidates no
+            # longer fill k, while the unfiltered row was saturated (all
+            # k_seg finite), may have lost live docs past the candidate
+            # horizon — count it and warn so the caller compacts
+            live = np.isfinite(vals).sum(axis=1)
+            saturated = dead.any(axis=1) & (live < min(k, max(self.n_docs, 1)))
+            truncated = int((saturated & (live + dead.sum(axis=1) >= vals.shape[1])).sum())
+            if truncated:
+                self.truncated_queries += truncated
+                from tdr.utils.trace import log
+
+                log.warning(
+                    "segmented top-k: %d quer%s may have lost live docs past "
+                    "the tombstone margin (k_seg=%d, %d tombstones) — "
+                    "compact_with() the segment store",
+                    truncated, "y" if truncated == 1 else "ies", k_seg, n_dead)
             order = np.argsort(-vals, axis=1, kind="stable")
             vals = np.take_along_axis(vals, order, axis=1)
             rows = np.take_along_axis(rows, order, axis=1)

@@ -542,3 +542,49 @@ def test_route_add_lang_cascade():
     # detection result not loaded, default not loaded → any loaded model
     assert _route_add_lang(
         models_fr, router, "the quick brown fox jumps", "") == "fr"
+
+def test_cli_serve_mutable_coalesces_adds(tmp_path):
+    """ADVICE r3: N streamed adds within one window must apply as ONE
+    delta rebuild per language (each add_documents call rebuilds the whole
+    delta — per-line adds are O(N^2)).  All acks still emit per docid and
+    the docs are retrievable by the next query."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, _ = synthetic_corpus(
+        SyntheticSpec(n_docs=150, n_queries=2, seed=6, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    n = 12
+    lines = [_json.dumps({"add": {"docid": f"c{i}",
+                                  "text": f"caracal{i} serval lynx wildcat",
+                                  "lang": "en"}}) for i in range(n)]
+    lines.append(_json.dumps({"query": "caracal3 serval", "lang": "en",
+                              "k": 5}))
+    p = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve", "--mutable",
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "16",
+         "--window-ms", "200"],
+        input=("\n".join(lines) + "\n").encode(), capture_output=True,
+        timeout=570, env=env, cwd=cwd)
+    assert p.returncode == 0, p.stderr.decode()[-800:]
+    out = [_json.loads(l) for l in p.stdout.decode().splitlines() if l.strip()]
+    added = [r["added"] for r in out if "added" in r]
+    assert added == [f"c{i}" for i in range(n)]
+    results = [r for r in out if "docids" in r]
+    assert results and results[-1]["docids"][0] == "c3"
+    # the whole window's adds applied as ONE delta rebuild
+    err = p.stderr.decode()
+    assert f"applied {n} coalesced adds" in err, err[-600:]

@@ -267,3 +267,35 @@ class TestCrashSafety:
         recover_segmented_dir(parent)
         assert ".en.tmp-999" not in os.listdir(parent)
 
+
+
+class TestTombstoneMargins:
+    """ADVICE r3: the fixed 64-candidate tombstone margin silently dropped
+    live docs under heavy delete churn.  The margin now escalates with the
+    tombstone count over bucketed compile keys, and exhaustion past the
+    largest bucket is counted + logged instead of silent."""
+
+    def test_margin_escalates_and_stays_correct(self):
+        # 150 docs share one hot term; delete 120 of them (> the old fixed
+        # 64 margin) — every surviving doc must still be retrievable
+        toks = [["hot", f"sig_{i}"] for i in range(150)]
+        ids = [f"d{i}" for i in range(150)]
+        seg = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        seg.delete_documents([f"d{i}" for i in range(120)])
+        res = seg.retrieve_tokens([["hot"]], k=30)[0]
+        assert len(res) == 30
+        assert all(int(d[1:]) >= 120 for d in res), res
+        assert seg.truncated_queries == 0
+
+    def test_truncation_past_largest_bucket_is_flagged(self):
+        # >1024 tombstones ranked above the survivors exhaust even the
+        # largest margin: the store must FLAG the truncation, not silently
+        # return short/stale results
+        n = 1200
+        toks = [["hot", f"sig_{i}"] for i in range(n)]
+        ids = [f"d{i}" for i in range(n)]
+        seg = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        seg.delete_documents([f"d{i}" for i in range(1100)])
+        before = seg.truncated_queries
+        vals, rows = seg.topk_tokens([["hot"]], k=10)
+        assert seg.truncated_queries > before
