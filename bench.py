@@ -382,12 +382,14 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
     t0 = time.perf_counter()
     sb.precompute_embeddings(dense)          # one-time corpus embedding pass
     embed_s = time.perf_counter() - t0
-    # tune fusion alpha on the dev split (one stage pass, host re-fusions)
+    # tune fusion alpha + doc-evidence weight on the dev split (one stage
+    # pass, host re-fusions over the 2-D grid)
     alpha, curve = lm.tune_fusion_alpha(
         queries2.queries[:n_dev], queries2.langs[:n_dev],
         queries2.positive_docs[:n_dev], k=10)
-    log.info("fusion alpha tuned on %d dev queries: %.2f (curve %s)",
-             n_dev, alpha, {a: round(r, 3) for a, r in curve.items()})
+    log.info("fusion tuned on %d dev queries: alpha=%.2f doc_agg=%.2f "
+             "(curve %s)", n_dev, alpha, lm.doc_agg_weight,
+             {str(a): round(r, 3) for a, r in curve.items()})
     q_ev = queries2.queries[n_dev:]
     l_ev = queries2.langs[n_dev:]
     p_ev = queries2.positive_docs[n_dev:]
@@ -408,6 +410,7 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
         "sentence_candidate_ceiling_recall": round(
             recall_at_k(s1, p_ev, max(len(r) for r in s1)), 4),
         "sentence_fusion_alpha": lm.fusion_alpha,
+        "sentence_doc_agg_weight": lm.doc_agg_weight,
         "sentence_alpha_dev_curve": {str(a): round(r, 4)
                                      for a, r in curve.items()},
         "sentence_index_build_sec": round(sent_build_s, 1),

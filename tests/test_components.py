@@ -218,19 +218,20 @@ class TestSentenceLmCascade:
         casc = SentenceLmCascade({"en": sb}, dense, bm25_candidates=20,
                                  query_batch=8)
         grid = (0.0, 0.5, 1.0)
+        agg_grid = (0.0, 0.4)
         best, curve = casc.tune_fusion_alpha(
             queries.queries, queries.langs, queries.positive_docs,
-            k=5, grid=grid)
-        assert set(curve) == set(grid)
+            k=5, grid=grid, agg_grid=agg_grid)
+        assert set(curve) == {(a, g) for a in grid for g in agg_grid}
         assert casc.fusion_alpha == best
-        assert curve[best] == max(curve.values())
-        # the curve must agree with direct retrieval at each alpha
-        for alpha in grid:
+        assert curve[(best, casc.doc_agg_weight)] == max(curve.values())
+        # the curve must agree with direct retrieval at each grid point
+        for (alpha, agg), r in curve.items():
             direct = SentenceLmCascade({"en": sb}, dense, bm25_candidates=20,
-                                       query_batch=8, fusion_alpha=alpha)
+                                       query_batch=8, fusion_alpha=alpha,
+                                       doc_agg_weight=agg)
             res = direct.retrieve(queries.queries, queries.langs, k=5)
-            assert abs(curve[alpha]
-                       - recall_at_k(res, queries.positive_docs, 5)) < 1e-9
+            assert abs(r - recall_at_k(res, queries.positive_docs, 5)) < 1e-9
 
     def test_minmax_normalization(self):
         from tdr.rank.sentence import _minmax
@@ -447,3 +448,45 @@ class TestRrfFusion:
         rec_bm = recall_at_k(r_bm, queries.positive_docs, 10)
         rec_f = recall_at_k(fused, queries.positive_docs, 10)
         assert rec_f >= rec_bm - 0.02, (rec_f, rec_bm)
+
+
+class TestDocEvidence:
+    """Doc-level evidence aggregation in the sentence cascade (round 4):
+    the per-candidate doc evidence must be the exact per-row, per-doc sum
+    of the fused scores, and the fusion must remain reference-identical at
+    doc_agg_weight=0."""
+
+    def test_doc_evidence_sums(self):
+        from tdr.rank.sentence import SentenceLmCascade
+
+        base = np.array([[1.0, 2.0, 4.0, 8.0],
+                         [1.0, 1.0, 1.0, 1.0]])
+        valid = np.array([[True, True, True, False],
+                          [True, True, False, False]])
+        doc_idx = np.array([[5, 5, 7, 7],
+                            [3, 3, 3, 3]])
+        ev = SentenceLmCascade._doc_evidence(base, valid, doc_idx)
+        np.testing.assert_allclose(ev, [[3.0, 3.0, 4.0, 0.0],
+                                        [2.0, 2.0, 0.0, 0.0]])
+
+    def test_doc_evidence_rows_do_not_leak(self):
+        from tdr.rank.sentence import SentenceLmCascade
+
+        # the SAME doc id in different query rows must not share sums
+        base = np.ones((2, 3))
+        valid = np.ones((2, 3), bool)
+        doc_idx = np.array([[1, 1, 2], [1, 2, 2]])
+        ev = SentenceLmCascade._doc_evidence(base, valid, doc_idx)
+        np.testing.assert_allclose(ev, [[2.0, 2.0, 1.0], [1.0, 2.0, 2.0]])
+
+    def test_zero_weight_is_reference_fusion(self):
+        from tdr.rank.sentence import SentenceLmCascade
+
+        rng = np.random.RandomState(0)
+        vals = rng.rand(4, 8).astype(np.float32)
+        sims = rng.rand(4, 8).astype(np.float32)
+        valid = rng.rand(4, 8) > 0.2
+        doc_idx = rng.randint(0, 5, (4, 8))
+        plain = SentenceLmCascade._fuse(vals, valid, sims, 0.5)
+        zero = SentenceLmCascade._fuse(vals, valid, sims, 0.5, 0.0, doc_idx)
+        np.testing.assert_array_equal(plain, zero)
