@@ -369,7 +369,7 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
                       seed=7, hard=True, ref_proportions=False, langs=("en",),
                       sentences_per_doc=6))
     dcfg = DenseConfig(vocab_size=4000, dim=64, depth=2, heads=4, max_len=32)
-    model, state, _ = train_dense_retriever(
+    model, state, train_metrics = train_dense_retriever(
         corpus2, queries2, dcfg, epochs=3, batch_size=50, n_neg=1, lr=1e-3)
     dense = DenseModel.build(model, state.params, dcfg,
                              corpus2.texts[:1], corpus2.docids[:1], batch=32)
@@ -411,6 +411,7 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
             recall_at_k(s1, p_ev, max(len(r) for r in s1)), 4),
         "sentence_fusion_alpha": lm.fusion_alpha,
         "sentence_doc_agg_weight": lm.doc_agg_weight,
+        "sentence_encoder_loss_curve": train_metrics.get("loss_curve"),
         "sentence_alpha_dev_curve": {str(a): round(r, 4)
                                      for a, r in curve.items()},
         "sentence_index_build_sec": round(sent_build_s, 1),

@@ -210,6 +210,7 @@ def train_dense_retriever(
         state = shard_train_state(mesh, state)
     by_id = dict(zip(corpus.docids, corpus.texts))
     last: Dict[str, float] = {}
+    curve = []
     for ep in range(epochs):
         metrics = None
         for batch in make_batches(train_queries, by_id, cfg, batch_size, n_neg,
@@ -226,5 +227,9 @@ def train_dense_retriever(
                 "corpus", ep, batch_size)
             break
         last = {k: float(v) for k, v in metrics.items()}
+        curve.append(round(last.get("loss", float("nan")), 4))
         log.info("epoch %d: %s", ep, last)
+    # per-epoch end-of-epoch losses — the training curve callers report
+    # (VERDICT r3 #5 asks the bench to show it next to the re-rank uplift)
+    last["loss_curve"] = curve
     return model, state, last
