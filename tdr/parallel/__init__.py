@@ -9,6 +9,7 @@ from tdr.parallel.pipeline import PipelinedCascade
 from tdr.parallel.sharded import (
     ShardedSparseIndex,
     build_sharded_index,
+    grid_score_topk,
     sharded_score_topk,
     spmd_global_stats,
     dp_score_topk,
@@ -25,6 +26,7 @@ __all__ = [
     "sharded_row_to_doc",
     "ShardedSparseIndex",
     "build_sharded_index",
+    "grid_score_topk",
     "sharded_score_topk",
     "spmd_global_stats",
     "dp_score_topk",

@@ -286,6 +286,95 @@ def sharded_score_topk(
     return vals, rows
 
 
+@partial(jax.jit, static_argnames=("mesh", "top_k"))
+def grid_score_topk(
+    mesh: Mesh,
+    sindex: ShardedSparseIndex,
+    qids: jnp.ndarray,
+    qw: jnp.ndarray,
+    top_k: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D grid parallelism: query batch sharded over "data" x documents
+    sharded over "model" — the composition of `dp_score_topk` and
+    `sharded_score_topk` for fleets where NEITHER the query stream fits one
+    row NOR the index fits one chip.  Each (q-row, doc-col) device scores
+    its local query block against its local doc shard with the same fused
+    engine; the k-sized merge collective (`all_gather` + global top-k)
+    rides the "model" axis only, so rows never exchange queries.
+
+    Build the index with ``n_shards = mesh.shape["model"]``.  Returns
+    (vals (Q, k), GLOBAL rows (Q, k)) — map rows back to corpus docs with
+    ``global_row_to_doc``.
+    """
+    S = sindex.n_shards
+    assert S == mesh.shape["model"], (S, dict(mesh.shape))
+    n_data = mesh.shape["data"]
+    Q = qids.shape[0]
+    Q_pad = -(-Q // n_data) * n_data
+    if Q_pad != Q:
+        qids = jnp.pad(qids, ((0, Q_pad - Q), (0, 0)))
+        qw = jnp.pad(qw, ((0, Q_pad - Q), (0, 0)))
+    k_local = min(top_k, sindex.n_docs_pad_local)
+    n_loc_pad = sindex.n_docs_pad_local
+
+    def local_fn(indptr, pdoc, pw, ptf, head_pack, df_local, doc_len,
+                 n_valid, head_slot, idf, avgdl, qids, qw):
+        head_rows, hs = head_pack
+        # the query block is "data"-sharded but "model"-invariant; the
+        # index is "model"-sharded — cast queries model-varying to mix
+        qids = jax.lax.pcast(qids, "model", to="varying")
+        qw = jax.lax.pcast(qw, "model", to="varying")
+        stats = IndexStats(df=df_local[0], idf=idf, doc_len=doc_len[0],
+                           avgdl=avgdl)
+        local = SparseIndex(
+            indptr=indptr[0], postings_doc=pdoc[0], postings_w=pw[0],
+            postings_tf=ptf[0], head_slot=head_slot, head_rows=head_rows[0],
+            stats=stats,
+            head_scale=None if hs is None else hs[0],
+            n_docs=n_loc_pad, n_docs_pad=n_loc_pad,
+            vocab_size=sindex.vocab_size, tail_pmax=sindex.tail_pmax,
+            head_size=sindex.head_size,
+        )
+        vals, rows = score_and_topk_fused(local, qids, qw, top_k=k_local,
+                                          n_valid=n_valid[0])
+        rows = jnp.where(jnp.isfinite(vals), rows, 0)
+        my = jax.lax.axis_index("model")
+        grows = rows + my * n_loc_pad
+        # (S, q_local, k_local) per device; identical across the row
+        vals_g = jax.lax.all_gather(vals, "model")
+        rows_g = jax.lax.all_gather(grows, "model")
+        # merge inside the shard so outputs stay "data"-sharded
+        q_loc = vals.shape[0]
+        vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(q_loc, S * k_local)
+        rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(q_loc, S * k_local)
+        k_eff = min(top_k, S * k_local)
+        v, sel = jax.lax.top_k(vals_m, k_eff)
+        r = jnp.take_along_axis(rows_m, sel, axis=1)
+        if k_eff < top_k:
+            pad = top_k - k_eff
+            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            r = jnp.pad(r, ((0, 0), (0, pad)))
+        return v, r
+
+    vals, rows = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("model"), P("model"), P("model"), P("model"), P("model"),
+            P("model"), P("model"), P("model"), P(), P(), P(),
+            P("data"), P("data"),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )(
+        sindex.indptr, sindex.postings_doc, sindex.postings_w,
+        sindex.postings_tf, (sindex.head_rows, sindex.head_scale),
+        sindex.df_local, sindex.doc_len, sindex.n_valid, sindex.head_slot,
+        sindex.idf, sindex.avgdl, qids, qw,
+    )
+    return vals[:Q], rows[:Q]
+
+
 def global_row_to_doc(sindex: ShardedSparseIndex, rows: np.ndarray) -> np.ndarray:
     """Map sharded global rows (shard*pad + local) back to corpus doc rows."""
     bounds = np.linspace(0, sindex.n_docs, sindex.n_shards + 1).astype(np.int64)

@@ -231,3 +231,51 @@ class TestPipelinedCascade:
         d1 = list(pipe._idx1.head_rows.devices())
         d2 = list(pipe._idx2.head_rows.devices())
         assert d1 == [devs[0]] and d2 == [devs[1]]
+
+
+@pytest.mark.parametrize("grid", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_grid_2d_matches_single_device(world, grid):
+    """2-D composition (round 4): query batch sharded over "data" x index
+    sharded over "model" must equal the single-device fused engine — the
+    scaling mode where neither the query stream nor the corpus fits one
+    chip."""
+    from tdr.parallel import grid_score_topk
+
+    n_data, n_model = grid
+    vocab, coo, qids, qw = world
+    single = build_index(*coo, vocab.size, index_cfg=CFG)
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=n_model,
+                                  index_cfg=CFG)
+    mesh = make_mesh(data=n_data, model=n_model)
+
+    vals_1, rows_1 = score_and_topk(single, qids, qw, top_k=10)
+    vals_g, rows_g = grid_score_topk(mesh, sharded, qids, qw, top_k=10)
+    docs_g = global_row_to_doc(sharded, np.asarray(rows_g))
+
+    np.testing.assert_allclose(np.asarray(vals_g), np.asarray(vals_1),
+                               rtol=1e-4, atol=1e-5)
+    v1 = np.asarray(vals_1)
+    for q in range(v1.shape[0]):
+        strict = np.ones(10, bool)
+        strict[:-1] &= v1[q, :-1] > v1[q, 1:] + 1e-6
+        strict[1:] &= v1[q, 1:] < v1[q, :-1] - 1e-6
+        np.testing.assert_array_equal(
+            docs_g[q][strict], np.asarray(rows_1)[q][strict])
+
+
+def test_grid_2d_ragged_query_count(world):
+    """Q not divisible by the data axis: padding must not leak."""
+    from tdr.parallel import grid_score_topk
+
+    vocab, coo, qids, qw = world
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=2,
+                                  index_cfg=CFG)
+    single = build_index(*coo, vocab.size, index_cfg=CFG)
+    mesh = make_mesh(data=4, model=2)
+    q_odd = qids[:7]
+    w_odd = qw[:7]
+    vals_g, _ = grid_score_topk(mesh, sharded, q_odd, w_odd, top_k=5)
+    vals_1, _ = score_and_topk(single, q_odd, w_odd, top_k=5)
+    assert vals_g.shape == (7, 5)
+    np.testing.assert_allclose(np.asarray(vals_g), np.asarray(vals_1),
+                               rtol=1e-4, atol=1e-5)
