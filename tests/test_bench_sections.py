@@ -116,3 +116,12 @@ def test_kernel_roofline_uses_the_pure_model():
     assert out["model_bytes_per_batch"] == rm["model_bytes"]
     assert out["floor_ms_bandwidth"] == round(
         rm["floor_s_bandwidth"] * 1e3, 2)
+
+
+def test_section_isolates_failures():
+    """A failed optional section must yield an error stub, not kill the
+    bench (the r03 lesson: a green artifact with one failed section beats
+    an rc=1 stack trace with no headline)."""
+    assert bench._section("x", lambda: {"ok": 1}) == {"ok": 1}
+    out = bench._section("x", lambda: 1 / 0)
+    assert "ZeroDivisionError" in out["section_error"]
