@@ -390,6 +390,11 @@ class ShardedBM25Model:
     Presents the same ``topk_tokens`` surface as ``tdr.models.SparseModel``
     so a ``LanguageRouter`` can mix single-chip and sharded per-language
     models (e.g. shard only the dominant `en` partition across the mesh).
+
+    ``layout="doc"`` (default) shards documents over the mesh "data" axis
+    with replicated queries (`sharded_score_topk`); ``layout="grid"``
+    composes query-DP with doc-sharding — queries over "data", documents
+    over "model" (`grid_score_topk`) — for fleets where neither axis fits.
     """
 
     vocab: object                 # tdr.text.vocab.Vocab
@@ -399,22 +404,27 @@ class ShardedBM25Model:
     lang: str = "en"
     max_query_terms: int = 64
     query_weight: str = "unit"
+    layout: str = "doc"
 
     @classmethod
     def build(cls, doc_token_lists, docids, mesh: Mesh, lang: str = "en",
-              bm25=None, index_cfg=None, max_query_terms: int = 64):
+              bm25=None, index_cfg=None, max_query_terms: int = 64,
+              layout: str = "doc"):
         from tdr.text.vocab import build_vocab, encode_docs
         from tdr.utils.config import BM25Config, IndexConfig
 
+        assert layout in ("doc", "grid"), layout
         bm25 = bm25 or BM25Config()
         index_cfg = index_cfg or IndexConfig()
         vocab = build_vocab(doc_token_lists, min_df=index_cfg.min_df)
         coo = encode_docs(doc_token_lists, vocab)
+        n_shards = (mesh.shape["data"] if layout == "doc"
+                    else mesh.shape["model"])
         sindex = build_sharded_index(
-            *coo, vocab.size, n_shards=mesh.shape["data"], bm25=bm25,
+            *coo, vocab.size, n_shards=n_shards, bm25=bm25,
             index_cfg=index_cfg)
         return cls(vocab=vocab, sindex=sindex, docids=list(docids), mesh=mesh,
-                   lang=lang, max_query_terms=max_query_terms)
+                   lang=lang, max_query_terms=max_query_terms, layout=layout)
 
     def encode_query_tokens(self, token_lists):
         from tdr.text.vocab import encode_queries
@@ -427,8 +437,12 @@ class ShardedBM25Model:
         if pad_to is not None and n < pad_to:
             token_lists = list(token_lists) + [[]] * (pad_to - n)
         qids, qw = self.encode_query_tokens(token_lists)
-        vals, grows = sharded_score_topk(self.mesh, self.sindex, qids, qw,
-                                         top_k=k)
+        if self.layout == "grid":
+            vals, grows = grid_score_topk(self.mesh, self.sindex, qids, qw,
+                                          top_k=k)
+        else:
+            vals, grows = sharded_score_topk(self.mesh, self.sindex, qids, qw,
+                                             top_k=k)
         rows = global_row_to_doc(self.sindex, np.asarray(grows))
         return np.asarray(vals)[:n], rows[:n]
 

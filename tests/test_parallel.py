@@ -279,3 +279,29 @@ def test_grid_2d_ragged_query_count(world):
     assert vals_g.shape == (7, 5)
     np.testing.assert_allclose(np.asarray(vals_g), np.asarray(vals_1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grid_layout_model_in_router(world):
+    """A grid-layout ShardedBM25Model must serve through the LanguageRouter
+    exactly like a single-chip model (the production surface of the 2-D
+    composition)."""
+    from tdr.models import BM25Model
+    from tdr.parallel.sharded import ShardedBM25Model
+    from tdr.rank import LanguageRouter
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.text import preprocess_texts as pp_texts
+
+    corpus, queries = synthetic_corpus(SyntheticSpec(
+        n_docs=160, n_queries=20, seed=13, ref_proportions=False,
+        langs=("en",)))
+    toks = pp_texts(corpus.texts, corpus.langs)
+    mesh = make_mesh(data=4, model=2)
+    single = BM25Model.build(toks, corpus.docids, lang="en", index_cfg=CFG)
+    grid = ShardedBM25Model.build(toks, corpus.docids, mesh, lang="en",
+                                  index_cfg=CFG, layout="grid")
+    assert grid.sindex.n_shards == 2
+    r_single = LanguageRouter({"en": single}, query_batch=8).retrieve(
+        queries.queries, queries.langs, k=5)
+    r_grid = LanguageRouter({"en": grid}, query_batch=8).retrieve(
+        queries.queries, queries.langs, k=5)
+    assert r_grid == r_single
