@@ -129,7 +129,8 @@ def roofline_model(Q: int, N: int, D: int, head_itemsize: int,
 def median_time(times) -> float:
     """The headline aggregation: median of the timed passes (VERDICT r2 #2:
     the headline must carry its variance, not a best manual run).  Sorted
-    copy, lower median for even counts — pinned by test_bench_sections."""
+    copy; for even counts this picks the UPPER median (index len//2), the
+    conservative/slower side — pinned by test_bench_sections."""
     ts = sorted(times)
     if not ts:
         raise ValueError("no timings")
@@ -164,7 +165,9 @@ def _section(name: str, fn):
         return {"section_skipped": "over_deadline"}
     try:
         return fn()
-    except BaseException as e:   # noqa: BLE001 — the headline must survive
+    # Exception, not BaseException: Ctrl-C / SystemExit must still stop
+    # the bench (review finding) — only real failures become stubs
+    except Exception as e:   # noqa: BLE001 — the headline must survive
         log.error("bench section %r failed: %s", name, e)
         traceback.print_exc()
         return {"section_error": f"{type(e).__name__}: {e}"[:300]}

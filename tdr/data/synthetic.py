@@ -195,11 +195,22 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
             # == vocab_per_lang // 10 in the default mode; per-language
             # counts differ under vocab_stress, so share the smallest tenth
             n_shared = max(1, min(len(vocabs[l]) for l in latin) // 10)
+            # under vocab_stress the bulk generator ENUMERATES the short
+            # syllable spaces, so a randomly drawn shared word is certain
+            # to collide with the kept (Zipf-common) vocab — which would
+            # turn "rare" signature terms into high-frequency body terms
+            # and quietly soften the stress recall.  Reject kept-vocab
+            # collisions in stress mode only; the default mode keeps its
+            # draws byte-identical.
+            kept: set = set()
+            if spec.vocab_stress:
+                for l in latin:
+                    kept.update(vocabs[l][:-n_shared])
             shared_pool: List[str] = []
             seen_sh = set()
             while len(shared_pool) < n_shared:
                 w = _make_word(srng, "en")
-                if w not in seen_sh:
+                if w not in seen_sh and w not in kept:
                     seen_sh.add(w)
                     shared_pool.append(w)
             for l in latin:

@@ -50,6 +50,17 @@ def _sq8_quantize(x: np.ndarray, axis: int):
     return codes, np.squeeze(scale, axis=axis).astype(np.float32)
 
 
+def quantize_queries_int8(q: jnp.ndarray):
+    """Symmetric per-row int8 query quantization for SQ8 search: returns
+    (q8 (Q, D) int8, scale (Q, 1) f32) with q ≈ q8 · scale.  Shared by the
+    single-device and mesh-sharded flat engines so the epsilon/rounding
+    cannot drift between them."""
+    qf = q.astype(jnp.float32)
+    qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+    qs = jnp.maximum(qmax, 1e-30) / 127.0
+    return jnp.round(qf / qs).astype(jnp.int8), qs
+
+
 def _pad_target(n: int, batch: int) -> int:
     """Pad encoder batches to a power of two (min 32, capped at ``batch``) so
     tiny inputs don't pay a full-batch transformer forward while compile
@@ -109,10 +120,7 @@ def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
     output with the per-query × per-doc scales (both on output axes, so
     nothing approximate enters the reduction)."""
     if index.embeddings.dtype == jnp.int8:
-        qf = q.astype(jnp.float32)
-        qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)     # (Q, 1)
-        qs = jnp.maximum(qmax, 1e-30) / 127.0
-        q8 = jnp.round(qf / qs).astype(jnp.int8)
+        q8, qs = quantize_queries_int8(q)
         acc = jax.lax.dot_general(q8, index.embeddings,
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)

@@ -35,6 +35,30 @@ import jax
 import jax.numpy as jnp
 
 
+def merge_gathered_topk(
+    vals_g: jnp.ndarray, rows_g: jnp.ndarray, top_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge per-shard top-k candidates after an ``all_gather``.
+
+    (S, Q, k_local) stacked candidates → global (Q, top_k): transpose to
+    per-query (Q, S·k_local), one ``lax.top_k``, gather the matching rows,
+    pad with −inf if fewer than ``top_k`` candidates exist.  The single
+    merge used by every sharded engine (sparse doc-sharding, the 2-D grid,
+    dense sharded flat) so tie-breaking and the padding sentinel cannot
+    drift between them."""
+    S, Q, kl = vals_g.shape
+    vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(Q, S * kl)
+    rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(Q, S * kl)
+    k_eff = min(top_k, S * kl)
+    vals, sel = jax.lax.top_k(vals_m, k_eff)
+    rows = jnp.take_along_axis(rows_m, sel, axis=1)
+    if k_eff < top_k:
+        pad = top_k - k_eff
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return vals, rows
+
+
 def fast_topk(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k along the last axis — the measured-fastest engine for the
     current hardware (see module docstring for the A/B)."""

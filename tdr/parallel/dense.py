@@ -36,8 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tdr.models.dense import NEG_INF, _round_up, _sq8_quantize
-from tdr.ops.topk import fast_topk
+from tdr.models.dense import (NEG_INF, _round_up, _sq8_quantize,
+                              quantize_queries_int8)
+from tdr.ops.topk import fast_topk, merge_gathered_topk
 
 
 @jax.tree_util.register_dataclass
@@ -130,10 +131,7 @@ def sharded_flat_search(
     is_int8 = sindex.embeddings.dtype == jnp.int8
 
     if is_int8:
-        qf = q.astype(jnp.float32)
-        qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
-        qs = jnp.maximum(qmax, 1e-30) / 127.0
-        q_in = jnp.round(qf / qs).astype(jnp.int8)
+        q_in, qs = quantize_queries_int8(q)
     else:
         qs = None
         q_in = q.astype(sindex.embeddings.dtype)
@@ -177,19 +175,10 @@ def sharded_flat_search(
         check_vma=False,   # all_gather outputs are device-invariant
     )(sindex.embeddings, (doc_sq, doc_scale), sindex.n_valid, q_in, qs_in)
 
-    Q = q.shape[0]
-    vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(Q, S * k_local)
-    rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(Q, S * k_local)
-    k_eff = min(top_k, S * k_local)
-    vals, sel = jax.lax.top_k(vals_m, k_eff)
-    rows = jnp.take_along_axis(rows_m, sel, axis=1)
+    vals, rows = merge_gathered_topk(vals_g, rows_g, top_k)
     if sindex.metric == "l2":
         q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         vals = jnp.where(jnp.isfinite(vals), vals - q_sq, vals)
-    if k_eff < top_k:
-        pad = top_k - k_eff
-        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-        rows = jnp.pad(rows, ((0, 0), (0, pad)))
     return vals, rows
 
 

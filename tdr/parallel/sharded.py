@@ -273,17 +273,9 @@ def sharded_score_topk(
     )
 
     # merge: (S, Q, k_local) → (Q, S·k_local) → top-k
-    Q = qids.shape[0]
-    vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(Q, S * k_local)
-    rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(Q, S * k_local)
-    k_eff = min(top_k, S * k_local)
-    vals, sel = jax.lax.top_k(vals_m, k_eff)
-    rows = jnp.take_along_axis(rows_m, sel, axis=1)
-    if k_eff < top_k:
-        pad = top_k - k_eff
-        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-        rows = jnp.pad(rows, ((0, 0), (0, pad)))
-    return vals, rows
+    from tdr.ops.topk import merge_gathered_topk
+
+    return merge_gathered_topk(vals_g, rows_g, top_k)
 
 
 @partial(jax.jit, static_argnames=("mesh", "top_k"))
@@ -344,17 +336,9 @@ def grid_score_topk(
         vals_g = jax.lax.all_gather(vals, "model")
         rows_g = jax.lax.all_gather(grows, "model")
         # merge inside the shard so outputs stay "data"-sharded
-        q_loc = vals.shape[0]
-        vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(q_loc, S * k_local)
-        rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(q_loc, S * k_local)
-        k_eff = min(top_k, S * k_local)
-        v, sel = jax.lax.top_k(vals_m, k_eff)
-        r = jnp.take_along_axis(rows_m, sel, axis=1)
-        if k_eff < top_k:
-            pad = top_k - k_eff
-            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            r = jnp.pad(r, ((0, 0), (0, pad)))
-        return v, r
+        from tdr.ops.topk import merge_gathered_topk
+
+        return merge_gathered_topk(vals_g, rows_g, top_k)
 
     vals, rows = jax.shard_map(
         local_fn,

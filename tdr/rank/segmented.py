@@ -240,9 +240,18 @@ class SegmentedBM25:
             vals = np.concatenate([vm, vd[:nm]], axis=1)
             rows = np.concatenate(
                 [rm, rd[:nm] + len(self.main.docids)], axis=1)
+            # PER-SEGMENT saturation: a segment whose k_seg window is all
+            # finite may hold more matching docs past the horizon.  This
+            # must be computed pre-concat — against the combined 2*k_seg
+            # width a single segment can never look saturated, which
+            # silently disabled the truncation warning whenever a delta
+            # existed (round-4 review finding, regression-tested)
+            win_full = (np.isfinite(vm).all(axis=1)
+                        | np.isfinite(vd[:nm]).all(axis=1))
         else:
             (vm,), (rm,) = _gather_pending([vm], [rm])
             vals, rows = vm[:nm], rm[:nm]
+            win_full = np.isfinite(vm).all(axis=1)
         # host merge: k is tiny
         order = np.argsort(-vals, axis=1, kind="stable")
         vals = np.take_along_axis(vals, order, axis=1)
@@ -252,12 +261,14 @@ class SegmentedBM25:
                     & np.isfinite(vals))
             vals = np.where(dead, -np.inf, vals)
             # truncation detection: a row whose SURVIVING candidates no
-            # longer fill k, while the unfiltered row was saturated (all
-            # k_seg finite), may have lost live docs past the candidate
-            # horizon — count it and warn so the caller compacts
+            # longer fill k, while SOME segment's candidate window was
+            # saturated (all k_seg entries finite — more docs may exist
+            # past its horizon), may have lost live docs — count it and
+            # warn so the caller compacts
             live = np.isfinite(vals).sum(axis=1)
-            saturated = dead.any(axis=1) & (live < min(k, max(self.n_docs, 1)))
-            truncated = int((saturated & (live + dead.sum(axis=1) >= vals.shape[1])).sum())
+            truncated = int((dead.any(axis=1)
+                             & (live < min(k, max(self.n_docs, 1)))
+                             & win_full).sum())
             if truncated:
                 self.truncated_queries += truncated
                 from tdr.utils.trace import log

@@ -88,7 +88,7 @@ def test_roofline_model_compute_vs_bandwidth_floor():
 
 def test_median_time():
     assert bench.median_time([3.0, 1.0, 2.0]) == 2.0
-    assert bench.median_time([4.0, 1.0, 3.0, 2.0]) == 3.0  # lower-median idx
+    assert bench.median_time([4.0, 1.0, 3.0, 2.0]) == 3.0  # upper median (len//2)
     assert bench.median_time([5.0]) == 5.0
     with pytest.raises(ValueError):
         bench.median_time([])

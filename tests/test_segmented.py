@@ -299,3 +299,18 @@ class TestTombstoneMargins:
         before = seg.truncated_queries
         vals, rows = seg.topk_tokens([["hot"]], k=10)
         assert seg.truncated_queries > before
+
+    def test_truncation_flagged_with_delta_present(self):
+        """Round-4 review finding: with a delta segment the concat doubled
+        the saturation width, so the truncation flag never fired in the
+        delete/re-add churn scenario the feature was built for."""
+        n = 1200
+        toks = [["hot", f"sig_{i}"] for i in range(n)]
+        ids = [f"d{i}" for i in range(n)]
+        seg = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        # re-add one doc so a delta exists
+        seg.add_documents([["hot", "sig_0"]], ["d0"])
+        seg.delete_documents([f"d{i}" for i in range(1100)])
+        before = seg.truncated_queries
+        seg.topk_tokens([["hot"]], k=10)
+        assert seg.truncated_queries > before
