@@ -265,6 +265,17 @@ def _cmd_serve(args) -> int:
     # after an add see it (flush_adds runs before retrieval), and deletes
     # force the adds down first.
     pending_adds: dict = {}   # lang -> ([toks], [docids])
+    compact_hinted: set = set()
+
+    def _compact_hint(lang):
+        m = models.get(lang)
+        if (lang not in compact_hinted
+                and getattr(m, "should_compact", False)):
+            compact_hinted.add(lang)
+            log.warning(
+                "segment store %r hit the merge-policy threshold "
+                "(tombstones/delta/truncation) — rebuild the index or run "
+                "compact_with() to restore single-segment serving", lang)
 
     def buffer_add(r):
         a = r["add"]
@@ -289,6 +300,7 @@ def _cmd_serve(args) -> int:
                 log.info("applied %d coalesced adds (%s)", len(ids), lang)
                 for d in ids:
                     emit({"added": d, "lang": lang})
+                _compact_hint(lang)
             except Exception as e:   # noqa: BLE001
                 emit({"error": f"mutation failed: {e}", "docids": ids})
         pending_adds.clear()
@@ -303,6 +315,8 @@ def _cmd_serve(args) -> int:
             for m in models.values():
                 m.delete_documents(r["delete"])
             emit({"deleted": r["delete"]})
+            for lang in models:
+                _compact_hint(lang)
         except Exception as e:   # noqa: BLE001 — serve must stay alive
             emit({"error": f"mutation failed: {e}"})
         sys.stdout.flush()

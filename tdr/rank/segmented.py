@@ -198,6 +198,18 @@ class SegmentedBM25:
     # -- retrieval (router sync protocol) -------------------------------------
 
     @property
+    def should_compact(self) -> bool:
+        """Lucene merge-policy hint: True once serving quality or cost is
+        at risk — a query already hit the tombstone-margin ceiling, the
+        tombstone count sits in the largest (most expensive) margin
+        bucket, or the delta segment rivals the main (its per-add rebuild
+        and second scoring dispatch stop being cheap).  Callers decide
+        WHEN to pay the `compact_with` rebuild; this flags WHETHER."""
+        return (self.truncated_queries > 0
+                or len(self._dead_rows) > 192
+                or len(self._delta_ids) > max(64, len(self.main.docids) // 4))
+
+    @property
     def docids(self) -> List[str]:
         return self.main.docids + (self.delta.docids if self.delta else [])
 

@@ -295,3 +295,29 @@ def test_ivf_sq8_matches_f32_ivf():
                        for a, b in zip(np.asarray(rf), np.asarray(r8))])
     assert overlap >= 0.9, overlap
     assert (np.asarray(rf)[:, 0] == np.asarray(r8)[:, 0]).mean() >= 0.9
+
+
+def test_grid_int8_matches_single(world):
+    """2-D grid (query-DP x doc-sharding) with int8 heads == single-device
+    int8 scoring (round 4: the grid engine must carry the quantized path
+    too)."""
+    from tdr.parallel import build_sharded_index, grid_score_topk
+    from tdr.parallel.sharded import global_row_to_doc
+
+    vocab, coo, qids, qw = world
+    cfg = IndexConfig(**PAD, head_dtype="int8", head_budget_bytes=1 << 16)
+    single = build_index(*coo, vocab.size, index_cfg=cfg, head_size=64)
+    sharded = build_sharded_index(*coo, vocab.size, n_shards=2, index_cfg=cfg,
+                                  head_size=64)
+    mesh = make_mesh(data=4, model=2)
+    vals_1, rows_1 = score_and_topk(single, qids, qw, top_k=10)
+    vals_g, rows_g = grid_score_topk(mesh, sharded, qids, qw, top_k=10)
+    docs_g = global_row_to_doc(sharded, np.asarray(rows_g))
+    v1 = np.asarray(vals_1)
+    np.testing.assert_allclose(np.asarray(vals_g), v1, rtol=1e-4, atol=1e-5)
+    for q in range(v1.shape[0]):
+        strict = np.ones(10, bool)
+        strict[:-1] &= v1[q, :-1] > v1[q, 1:] + 1e-6
+        strict[1:] &= v1[q, 1:] < v1[q, :-1] - 1e-6
+        np.testing.assert_array_equal(docs_g[q][strict],
+                                      np.asarray(rows_1)[q][strict])

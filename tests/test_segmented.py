@@ -314,3 +314,26 @@ class TestTombstoneMargins:
         before = seg.truncated_queries
         seg.topk_tokens([["hot"]], k=10)
         assert seg.truncated_queries > before
+
+
+class TestMergePolicy:
+    def test_should_compact_flags(self):
+        toks = [["hot", f"sig_{i}"] for i in range(300)]
+        ids = [f"d{i}" for i in range(300)]
+        seg = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        assert not seg.should_compact
+        # heavy tombstone churn flips it
+        seg.delete_documents([f"d{i}" for i in range(200)])
+        assert seg.should_compact
+        # a big delta flips it too
+        seg2 = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        seg2.add_documents([["new", f"ns_{i}"] for i in range(80)],
+                           [f"n{i}" for i in range(80)])
+        assert seg2.should_compact
+        # a truncated query flips it
+        seg3 = SegmentedBM25.build(
+            [["hot", f"s{i}"] for i in range(1200)],
+            [f"e{i}" for i in range(1200)], index_cfg=CFG)
+        seg3.delete_documents([f"e{i}" for i in range(1100)])
+        seg3.topk_tokens([["hot"]], k=10)
+        assert seg3.truncated_queries and seg3.should_compact
