@@ -415,30 +415,91 @@ def _fused_topk_core(
     base = jax.lax.cummax(jnp.where(is_first, cs_excl, -jnp.inf), axis=1)
     tail_sum = cs - base                                       # valid at is_last
 
-    # exact scores of tail-touched docs: head[q, d] + tail_sum
-    # (clamp the sentinel doc id for the gather only; its entries are
-    # masked out below since their slots are inactive)
-    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
-                * index.n_docs_pad
-                + jnp.minimum(d_s, index.n_docs_pad - 1))
-    head_at = jnp.take(head.reshape(-1), flat_idx.reshape(-1),
-                       unique_indices=False).reshape(Q, B)
-    touched_vals = jnp.where(is_last & m_s, head_at + tail_sum, NEG_INF)
+    # exact scores of tail-touched docs: head[q, d] + tail_sum.  Only each
+    # run's LAST slot carries a complete sum — one live slot per unique
+    # touched doc — and the expensive part is the per-element head[q, d]
+    # gather (XLA lowers it to ~4-20 ns/element HBM loads; measured ~11 of
+    # the 20.9 ms vocab-stress pass at (Q=256, B=2048) — round-4
+    # profiling).  Its cost is linear in the gathered width, so tier 1
+    # below gathers only the M live slots with the LARGEST tail sums;
+    # a post-merge bound decides whether that was provably exact.
 
-    # 3) merge + dedupe (exact: any true top-k doc's exact entry ranks
-    # <= 2k-1 in the merged list — at most k-1 better docs x 2 entries each)
-    all_vals = jnp.concatenate([hv, touched_vals], axis=1)     # (Q, k+B)
-    all_docs = jnp.concatenate([hi, d_s], axis=1)
-    k2 = min(2 * k, all_vals.shape[1])
-    mv, msel = jax.lax.top_k(all_vals, k2)
-    mdocs = jnp.take_along_axis(all_docs, msel, axis=1)
-    eq = mdocs[:, :, None] == mdocs[:, None, :]                # (Q, 2k, 2k)
-    earlier = jax.lax.broadcasted_iota(jnp.int32, (1, k2, k2), 2) < \
-        jax.lax.broadcasted_iota(jnp.int32, (1, k2, k2), 1)
-    dup = jnp.any(eq & earlier, axis=2)
-    sel_order = jnp.argsort(dup.astype(jnp.int32), axis=1, stable=True)[:, :k]
-    vals_out = jnp.take_along_axis(mv, sel_order, axis=1)
-    docs_out = jnp.take_along_axis(mdocs, sel_order, axis=1)
+    def _merge(cand_docs, cand_vals, hv_m):
+        """top-k of the head candidates ++ tail candidates, deduped.
+        Exact: any true top-k doc's exact entry ranks <= 2k-1 in the merged
+        list — at most k-1 better docs x 2 entries each."""
+        all_vals = jnp.concatenate([hv_m, cand_vals], axis=1)
+        all_docs = jnp.concatenate([hi, cand_docs], axis=1)
+        k2 = min(2 * k, all_vals.shape[1])
+        mv, msel = jax.lax.top_k(all_vals, k2)
+        mdocs = jnp.take_along_axis(all_docs, msel, axis=1)
+        eq = mdocs[:, :, None] == mdocs[:, None, :]            # (Q, 2k, 2k)
+        earlier = jax.lax.broadcasted_iota(jnp.int32, (1, k2, k2), 2) < \
+            jax.lax.broadcasted_iota(jnp.int32, (1, k2, k2), 1)
+        dup = jnp.any(eq & earlier, axis=2)
+        sel_order = jnp.argsort(dup.astype(jnp.int32), axis=1,
+                                stable=True)[:, :k]
+        return (jnp.take_along_axis(mv, sel_order, axis=1),
+                jnp.take_along_axis(mdocs, sel_order, axis=1))
+
+    def _head_at(d_x):
+        w = d_x.shape[1]
+        flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (Q, w), 0)
+                    * index.n_docs_pad
+                    + jnp.minimum(d_x, index.n_docs_pad - 1))
+        return jnp.take(head.reshape(-1), flat_idx.reshape(-1),
+                        unique_indices=False).reshape(Q, w)
+
+    live = is_last & m_s
+    M = min(B, max(512, 2 * index.tail_pmax))
+    if M < B:
+        # tier 1: keep the M largest-tail live slots (a dropped doc's total
+        # is then bounded by hv_k + tau).  Head candidates get their EXACT
+        # totals too (a head-top-k doc whose live slot was dropped would
+        # otherwise be undercounted and mis-ranked): binary-search each
+        # head doc's run end in the doc-sorted slots and add its tail sum.
+        lkey = jnp.where(live, -tail_sum, jnp.inf)
+        lkey_s, d_c, ts_c = jax.lax.sort((lkey, d_s, tail_sum), num_keys=1)
+        live_c = jnp.isfinite(lkey_s[:, :M])
+        tau = jnp.maximum(jnp.where(jnp.isfinite(lkey_s[:, M]),
+                                    -lkey_s[:, M], 0.0), 0.0)   # max dropped
+        d_c, ts_c = d_c[:, :M], ts_c[:, :M]
+        posr = jax.vmap(
+            lambda row, q: jnp.searchsorted(row, q, side="right"))(
+                d_s, hi) - 1
+        posr_c = jnp.clip(posr, 0, B - 1)
+        hit = ((posr >= 0)
+               & (jnp.take_along_axis(d_s, posr_c, axis=1) == hi)
+               & jnp.take_along_axis(m_s, posr_c, axis=1))
+        hv_k = hv[:, k - 1]                    # pre-augmentation bound base
+        hv = hv + jnp.where(
+            hit, jnp.take_along_axis(tail_sum, posr_c, axis=1), 0.0)
+
+        t1_vals, t1_docs = _merge(
+            d_c, jnp.where(live_c, _head_at(d_c) + ts_c, NEG_INF), hv)
+        # tier-1 exactness bound: every candidate's value is exact, and any
+        # NON-candidate doc d has head(d) <= hv_k (it is not in the head
+        # top-k) and tail(d) <= tau (its live slot was dropped, or it has
+        # no tail at all and tau >= 0) — so if the computed k-th value
+        # already beats hv_k + tau, no dropped doc can displace the result.
+        # Otherwise tier 2 re-merges with ALL live slots (the full-width
+        # gather) — exact by construction, ~the pre-compaction cost, and
+        # ~10x cheaper than the scatter fallback (which round-4's first cut
+        # used here: the vocab-stress exact pass, whose high-idf tails trip
+        # the bound on most batches, regressed 20.9 -> 131 ms).  Under
+        # topk_mode="approx" hv_k is itself approximate — the bound is then
+        # best-effort, matching that mode's stated contract.
+        risky = jnp.any(t1_vals[:, k - 1] < hv_k + tau)
+
+        def tier2(_):
+            return _merge(d_s, jnp.where(live, _head_at(d_s) + tail_sum,
+                                         NEG_INF), hv)
+
+        vals_out, docs_out = jax.lax.cond(
+            risky, tier2, lambda _: (t1_vals, t1_docs), None)
+    else:
+        vals_out, docs_out = _merge(
+            d_s, jnp.where(live, _head_at(d_s) + tail_sum, NEG_INF), hv)
     if k < top_k:
         pad = top_k - k
         vals_out = jnp.pad(vals_out, ((0, 0), (0, pad)), constant_values=-jnp.inf)

@@ -80,11 +80,37 @@ def fast_encode_corpus(
 
     stream = raw_to_stem[raw_ids] if len(raw_ids) else np.zeros(0, np.int32)
     n_docs = len(texts)
+
+    # --- (doc, term) counting: one native pass when available -------------
+    # The numpy tail below re-reads the token stream ~30x through 64-bit
+    # temporaries (repeat/pack/np.unique/bincounts) — 56 s of the 170 s
+    # full-fidelity build on the slow-memory bench host (round-4 profile).
+    # countdocs.cc emits the same COO/doc_lens/df (np.unique order, bigram
+    # ids in sorted-pair-key order) in a single pass; parity is pinned in
+    # tests/test_native.py.
+    bigrams = lang in BIGRAM_LANGS and pipeline == "best"
+    from tdr import native
+
+    try:
+        native_ok = native.available() and len(stream) > 0
+    except native.NativeUnavailable:
+        native_ok = False
+    if native_ok:
+        doc_ids, term_ids, tfs, doc_lens, df, pkeys = native.count_docs(
+            stream, doc_offsets, n_unigram, bigrams)
+        pair_to_id = (
+            {int(k): n_unigram + i for i, k in enumerate(pkeys)}
+            if bigrams and len(pkeys) else None)
+        vocab_size = n_unigram + len(pkeys)
+        return _finish_vocab(stem_strings, pair_to_id, vocab_size,
+                             n_unigram, df, min_df, n_docs,
+                             doc_ids, term_ids, tfs, doc_lens)
+
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
                        np.diff(doc_offsets)) if len(raw_ids) else np.zeros(0, np.int64)
 
     # --- bigram augmentation (joined 2-grams appended per doc) ------------
-    if lang in BIGRAM_LANGS and pipeline == "best" and len(stream) > 1:
+    if bigrams and len(stream) > 1:
         left, right = stream[:-1].astype(np.int64), stream[1:].astype(np.int64)
         same_doc = doc_of[:-1] == doc_of[1:]
         pair_key = (left << 32) | right
@@ -111,9 +137,17 @@ def fast_encode_corpus(
     doc_ids = (uniq >> 32).astype(np.int32)
     term_ids = (uniq & 0xFFFFFFFF).astype(np.int32)
     tfs = counts.astype(np.float32)
-
-    # --- df + optional pruning -------------------------------------------
     df = np.bincount(term_ids, minlength=vocab_size).astype(np.int32)
+    return _finish_vocab(stem_strings, pair_to_id, vocab_size, n_unigram,
+                         df, min_df, n_docs, doc_ids, term_ids, tfs,
+                         doc_lens)
+
+
+def _finish_vocab(stem_strings, pair_to_id, vocab_size, n_unigram, df,
+                  min_df, n_docs, doc_ids, term_ids, tfs, doc_lens):
+    """Shared encode tail: optional min_df pruning + Vocab construction
+    (identical for the native-count and numpy-count paths)."""
+    df = np.asarray(df, np.int32)
     if min_df > 1:
         keep = df >= min_df
         remap = np.cumsum(keep).astype(np.int32) - 1

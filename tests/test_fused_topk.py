@@ -72,6 +72,45 @@ def test_overflow_fallback_tiny_budget():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_live_slot_compaction_exact_beyond_budget():
+    """Round-4 live-slot compaction: when a query touches MORE unique tail
+    docs than the compaction width M (=512 floor), the dropped docs are the
+    smallest tails and the tau-bound must either prove the result exact or
+    fall back to the exact scatter — either way the output equals the full
+    oracle.  World: 1200 docs, all-tail index (head_size=0), 20-term
+    queries with ~100-doc posting lists → ~900 unique touched docs > M,
+    while total slots stay under the 2048 budget (no slot overflow, so the
+    compaction path itself is what runs)."""
+    rng = np.random.RandomState(17)
+    # ~60 "topic" terms each appearing in ~100 docs + per-doc noise terms
+    docs = []
+    for d in range(1200):
+        toks = [f"noise{d}_{j}" for j in range(3)]
+        for t in range(60):
+            if rng.rand() < 100 / 1200:
+                toks.append(f"topic{t}")
+        docs.append(toks)
+    vocab = build_vocab(docs)
+    coo = encode_docs(docs, vocab)
+    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32),
+                      head_size=0)
+    assert int(idx.tail_pmax) >= 129, "world must force B > M"
+    queries = [[f"topic{t}" for t in rng.choice(60, 20, replace=False)]
+               for _ in range(8)]
+    from tdr.text import encode_queries
+
+    qids, qw = encode_queries(queries, vocab, 24)
+    v, d = score_and_topk_fused(idx, jnp.asarray(qids), jnp.asarray(qw),
+                                top_k=10, tail_budget=2048)
+    full = np.asarray(score_batch(idx, jnp.asarray(qids), jnp.asarray(qw)))
+    for q in range(np.asarray(v).shape[0]):
+        np.testing.assert_allclose(np.asarray(v)[q],
+                                   np.sort(full[q])[::-1][:10],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(full[q][np.asarray(d)[q]], np.asarray(v)[q],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_bf16_head_preserves_ranking():
     """The bfloat16 head default may perturb scores ~1e-2 relative but must
     preserve top-k doc sets on clearly-separated data."""

@@ -346,3 +346,52 @@ class TestNativeHashEncode:
         oi, om = self._oracle(texts)
         np.testing.assert_array_equal(ids, oi)
         np.testing.assert_array_equal(mask, om)
+
+
+def test_count_docs_matches_numpy_block():
+    """countdocs.cc vs the numpy repeat/pack/np.unique tail: byte-identical
+    COO (including (doc, term) sort order), doc_lens, df, and sorted
+    bigram pair keys — on a random stem stream with repeats, empty docs,
+    and single-token docs (no bigram possible)."""
+    from tdr import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(29)
+    n_docs, n_unigram = 200, 50
+    lens = rng.randint(0, 30, n_docs)
+    lens[3] = 0
+    lens[4] = 1
+    doc_offsets = np.zeros(n_docs + 1, np.int64)
+    doc_offsets[1:] = np.cumsum(lens)
+    stream = rng.randint(0, n_unigram, int(doc_offsets[-1])).astype(np.int32)
+
+    for bigrams in (False, True):
+        d, t, f, dl, df, pk = native.count_docs(
+            stream, doc_offsets, n_unigram, bigrams)
+        # numpy oracle (the former inline block)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(doc_offsets))
+        if bigrams:
+            left, right = stream[:-1].astype(np.int64), stream[1:].astype(np.int64)
+            same = doc_of[:-1] == doc_of[1:]
+            keys = ((left << 32) | right)[same]
+            uniq_pairs, pair_ids = np.unique(keys, return_inverse=True)
+            all_terms = np.concatenate(
+                [stream.astype(np.int64), pair_ids + n_unigram])
+            all_docs = np.concatenate([doc_of, doc_of[:-1][same]])
+            np.testing.assert_array_equal(pk, uniq_pairs)
+        else:
+            all_terms, all_docs = stream.astype(np.int64), doc_of
+            assert len(pk) == 0
+        vocab_size = n_unigram + (len(pk) if bigrams else 0)
+        want_dl = np.bincount(all_docs, minlength=n_docs).astype(np.int32)
+        packed = (all_docs << 32) | all_terms
+        uniq, counts = np.unique(packed, return_counts=True)
+        np.testing.assert_array_equal(d, (uniq >> 32).astype(np.int32))
+        np.testing.assert_array_equal(t, (uniq & 0xFFFFFFFF).astype(np.int32))
+        np.testing.assert_array_equal(f, counts.astype(np.float32))
+        np.testing.assert_array_equal(dl, want_dl)
+        np.testing.assert_array_equal(
+            df, np.bincount((uniq & 0xFFFFFFFF).astype(np.int64),
+                            minlength=vocab_size).astype(np.int32))
