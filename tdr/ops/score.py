@@ -452,7 +452,7 @@ def _fused_topk_core(
 
     live = is_last & m_s
     M = min(B, max(512, 2 * index.tail_pmax))
-    if M < B:
+    if topk_mode == "approx" and M < B:
         # tier 1: keep the M largest-tail live slots (a dropped doc's total
         # is then bounded by hv_k + tau).  Head candidates get their EXACT
         # totals too (a head-top-k doc whose live slot was dropped would
@@ -482,13 +482,17 @@ def _fused_topk_core(
         # top-k) and tail(d) <= tau (its live slot was dropped, or it has
         # no tail at all and tau >= 0) — so if the computed k-th value
         # already beats hv_k + tau, no dropped doc can displace the result.
-        # Otherwise tier 2 re-merges with ALL live slots (the full-width
-        # gather) — exact by construction, ~the pre-compaction cost, and
-        # ~10x cheaper than the scatter fallback (which round-4's first cut
-        # used here: the vocab-stress exact pass, whose high-idf tails trip
-        # the bound on most batches, regressed 20.9 -> 131 ms).  Under
-        # topk_mode="approx" hv_k is itself approximate — the bound is then
-        # best-effort, matching that mode's stated contract.
+        # Otherwise tier 2 re-merges with ALL live slots.  The compaction is
+        # gated to topk_mode="approx" above: exact mode's high-idf stress
+        # tails trip the bound on most batches, and the conditional's
+        # full-width branch lowers ~6x worse than the straight-line merge
+        # (measured 131 vs 20.9 ms/batch on the 232k-term vocab-stress en
+        # pass) — so exact stays on the always-full-width path below, and
+        # the M-slot gather is an approx-mode optimization (12.4 ms bf16,
+        # 10.3 ms int8, top-10 overlap 1.0 on that same pass).  Off-TPU,
+        # approx_max_k falls back to exact top-k, so hv_k is exact and the
+        # tau bound makes even this path exact (pinned by
+        # test_live_slot_compaction_exact_beyond_budget).
         risky = jnp.any(t1_vals[:, k - 1] < hv_k + tau)
 
         def tier2(_):

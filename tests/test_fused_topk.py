@@ -73,14 +73,16 @@ def test_overflow_fallback_tiny_budget():
 
 
 def test_live_slot_compaction_exact_beyond_budget():
-    """Round-4 live-slot compaction: when a query touches MORE unique tail
-    docs than the compaction width M (=512 floor), the dropped docs are the
+    """Round-4 live-slot compaction (approx-mode only; exact mode takes the
+    always-full-width merge): when a query touches MORE unique tail docs
+    than the compaction width M (=512 floor), the dropped docs are the
     smallest tails and the tau-bound must either prove the result exact or
-    fall back to the exact scatter — either way the output equals the full
-    oracle.  World: 1200 docs, all-tail index (head_size=0), 20-term
-    queries with ~100-doc posting lists → ~900 unique touched docs > M,
-    while total slots stay under the 2048 budget (no slot overflow, so the
-    compaction path itself is what runs)."""
+    re-merge full-width — off-TPU approx_max_k falls back to exact top-k,
+    so either way the output equals the full oracle.  World: 1200 docs,
+    all-tail index (head_size=0), 20-term queries with ~100-doc posting
+    lists → ~900 unique touched docs > M, while total slots stay under the
+    2048 budget (no slot overflow, so the compaction path itself is what
+    runs)."""
     rng = np.random.RandomState(17)
     # ~60 "topic" terms each appearing in ~100 docs + per-doc noise terms
     docs = []
@@ -101,7 +103,8 @@ def test_live_slot_compaction_exact_beyond_budget():
 
     qids, qw = encode_queries(queries, vocab, 24)
     v, d = score_and_topk_fused(idx, jnp.asarray(qids), jnp.asarray(qw),
-                                top_k=10, tail_budget=2048)
+                                top_k=10, tail_budget=2048,
+                                topk_mode="approx")
     full = np.asarray(score_batch(idx, jnp.asarray(qids), jnp.asarray(qw)))
     for q in range(np.asarray(v).shape[0]):
         np.testing.assert_allclose(np.asarray(v)[q],
