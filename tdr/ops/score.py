@@ -443,12 +443,13 @@ def _fused_topk_core(
                 jnp.take_along_axis(mdocs, sel_order, axis=1))
 
     def _head_at(d_x):
-        w = d_x.shape[1]
-        flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (Q, w), 0)
-                    * index.n_docs_pad
-                    + jnp.minimum(d_x, index.n_docs_pad - 1))
-        return jnp.take(head.reshape(-1), flat_idx.reshape(-1),
-                        unique_indices=False).reshape(Q, w)
+        # row-batched gather: take_along_axis keeps the batch dim so XLA
+        # gathers within each 1 MB head row instead of the flat 268 MB
+        # operand (A/B'd fresh-process on the v5e: 8.3 -> 7.0 ms at
+        # (Q=256, B=2048, N=262k); the flat-index form was the round-4
+        # original)
+        return jnp.take_along_axis(
+            head, jnp.minimum(d_x, index.n_docs_pad - 1), axis=1)
 
     live = is_last & m_s
     M = min(B, max(512, 2 * index.tail_pmax))
