@@ -362,6 +362,10 @@ def test_count_docs_matches_numpy_block():
     lens = rng.randint(0, 30, n_docs)
     lens[3] = 0
     lens[4] = 1
+    # force a counter-table regrow late in the stream (after ~150 epoch
+    # bumps): the regrow resets the epoch stamps, and a stale-key aliasing
+    # bug there would corrupt counts only for docs AFTER the regrow
+    lens[150] = 5000
     doc_offsets = np.zeros(n_docs + 1, np.int64)
     doc_offsets[1:] = np.cumsum(lens)
     stream = rng.randint(0, n_unigram, int(doc_offsets[-1])).astype(np.int32)
