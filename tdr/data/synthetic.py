@@ -168,11 +168,13 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
 
     # per-language vocab: common pool (Zipf) + unique signature pool
     vocabs: Dict[str, List[str]] = {}
+    bulk_langs: set = set()
     for lang in langs:
         n_words = (STRESS_VOCAB.get(lang, spec.vocab_per_lang)
                    if spec.vocab_stress else spec.vocab_per_lang)
         if n_words > _BULK_VOCAB_THRESHOLD:
             vocabs[lang] = _bulk_words(lang, n_words, spec.seed)
+            bulk_langs.add(lang)
             continue
         seen, words = set(), []
         wrng = np.random.RandomState(
@@ -195,16 +197,17 @@ def synthetic_corpus(spec: SyntheticSpec = SyntheticSpec()) -> Tuple[Corpus, Que
             # == vocab_per_lang // 10 in the default mode; per-language
             # counts differ under vocab_stress, so share the smallest tenth
             n_shared = max(1, min(len(vocabs[l]) for l in latin) // 10)
-            # under vocab_stress the bulk generator ENUMERATES the short
-            # syllable spaces, so a randomly drawn shared word is certain
-            # to collide with the kept (Zipf-common) vocab — which would
-            # turn "rare" signature terms into high-frequency body terms
-            # and quietly soften the stress recall.  Reject kept-vocab
-            # collisions in stress mode only; the default mode keeps its
-            # draws byte-identical.
+            # whenever the bulk generator built a vocab it ENUMERATES the
+            # short syllable spaces, so a randomly drawn shared word is
+            # certain to collide with the kept (Zipf-common) vocab — which
+            # would turn "rare" signature terms into high-frequency body
+            # terms and quietly soften hard-mode recall.  Key the guard on
+            # bulk generation itself (vocab_stress OR vocab_per_lang >
+            # 20k), not the stress flag; small rejection-sampled vocabs
+            # keep their draws byte-identical.
             kept: set = set()
-            if spec.vocab_stress:
-                for l in latin:
+            for l in latin:
+                if l in bulk_langs:
                     kept.update(vocabs[l][:-n_shared])
             shared_pool: List[str] = []
             seen_sh = set()

@@ -159,6 +159,10 @@ class SegmentedBM25:
         self._deleted = set()
         self._dead_rows = set()
         self._pos = None
+        # the compaction just paid for the quality risk the counter flags;
+        # without the reset should_compact latches True forever after the
+        # first truncated query and a polling caller rebuilds on every poll
+        self.truncated_queries = 0
 
     def _rebuild_delta(self) -> None:
         vocab = build_vocab(self._delta_toks)

@@ -91,11 +91,8 @@ def fast_encode_corpus(
     bigrams = lang in BIGRAM_LANGS and pipeline == "best"
     from tdr import native
 
-    try:
-        native_ok = native.available() and len(stream) > 0
-    except native.NativeUnavailable:
-        native_ok = False
-    if native_ok:
+    # available() already swallows NativeUnavailable and returns a bool
+    if native.available() and len(stream) > 0:
         doc_ids, term_ids, tfs, doc_lens, df, pkeys = native.count_docs(
             stream, doc_offsets, n_unigram, bigrams)
         pair_to_id = (

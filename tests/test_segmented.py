@@ -337,3 +337,19 @@ class TestMergePolicy:
         seg3.delete_documents([f"e{i}" for i in range(1100)])
         seg3.topk_tokens([["hot"]], k=10)
         assert seg3.truncated_queries and seg3.should_compact
+
+    def test_should_compact_resets_after_compaction(self):
+        """Round-4 review finding: truncated_queries is a lifetime counter,
+        so without a reset in compact_with the hint latches True forever
+        and a polling caller ('if seg.should_compact: compact_with(...)')
+        rebuilds on every poll after the first truncated query."""
+        n = 1200
+        toks = [["hot", f"sig_{i}"] for i in range(n)]
+        ids = [f"d{i}" for i in range(n)]
+        seg = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        seg.delete_documents([f"d{i}" for i in range(1100)])
+        seg.topk_tokens([["hot"]], k=10)
+        assert seg.should_compact
+        live = [i for i in range(n) if i >= 1100]
+        seg.compact_with([toks[i] for i in live], [ids[i] for i in live])
+        assert not seg.should_compact
