@@ -874,6 +874,44 @@ def main() -> None:
     if os.environ.get("TDR_BENCH_SPELL", "1") == "1":
         spell = _section("spell", _spell_section)
 
+    # RM3 pseudo-relevance feedback A/B (tdr.rank.feedback, opt-in on the
+    # model): first pass mines top-F docs for expansion terms, one
+    # re-score with interpolated weights.  Reported alone AND stacked with
+    # spell (the two compose: spell fixes OOV query terms, feedback adds
+    # the target's co-occurring terms the query never had).
+    def _prf_section():
+        import dataclasses as _dc
+
+        router_prf = LanguageRouter(
+            {l: _dc.replace(m, prf=True) for l, m in models.items()},
+            query_batch=query_batch)
+        t0 = time.perf_counter()
+        res_prf = router_prf.retrieve(queries.queries, queries.langs, k=10)
+        prf_cold = time.perf_counter() - t0    # includes doc-major builds
+        t0 = time.perf_counter()
+        res_prf = router_prf.retrieve(queries.queries, queries.langs, k=10)
+        prf_warm = time.perf_counter() - t0
+        router_both = LanguageRouter(
+            {l: _dc.replace(m, prf=True, spell_correct=True)
+             for l, m in models.items()},
+            query_batch=query_batch)
+        router_both.retrieve(queries.queries[:1], queries.langs[:1], k=10)
+        res_both = router_both.retrieve(queries.queries, queries.langs, k=10)
+        out = {
+            "prf_recall_at_10": round(
+                recall_at_k(res_prf, queries.positive_docs, 10), 4),
+            "prf_spell_recall_at_10": round(
+                recall_at_k(res_both, queries.positive_docs, 10), 4),
+            "prf_retrieve_sec_warm": round(prf_warm, 2),
+            "prf_docmajor_build_sec": round(prf_cold - prf_warm, 1),
+        }
+        log.info("prf A/B: %s (baseline recall %0.4f)", out, recall)
+        return out
+
+    prf = {}
+    if os.environ.get("TDR_BENCH_PRF", "1") == "1":
+        prf = _section("prf", _prf_section)
+
     # end-to-end FAST profile: int8 scalar-quantized heads + approx_max_k
     # head selection on every model (the two config knobs stacked), same
     # queries — reported with ITS OWN recall next to the exact headline
@@ -998,6 +1036,7 @@ def main() -> None:
             "segmented_updates": seg_metrics,
             "fast_profile": fast,
             "spell_correction": spell,
+            "prf": prf,
             "serving_latency": latency,
             "dense_search": dense,
             "cascades": cascade,

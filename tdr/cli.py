@@ -54,12 +54,17 @@ def _cmd_build(args) -> int:
 
 
 def _apply_spell(models, args):
-    """Opt-in trigram OOV repair (tdr.text.spell) on every loaded model."""
-    if not getattr(args, "spell_correct", False):
-        return models
+    """Opt-in query-robustness knobs on every loaded model: trigram OOV
+    repair (tdr.text.spell) and/or RM3 pseudo-relevance feedback
+    (tdr.rank.feedback)."""
     import dataclasses as _dc
 
-    return {l: _dc.replace(m, spell_correct=True) for l, m in models.items()}
+    if getattr(args, "spell_correct", False):
+        models = {l: _dc.replace(m, spell_correct=True)
+                  for l, m in models.items()}
+    if getattr(args, "prf", False):
+        models = {l: _dc.replace(m, prf=True) for l, m in models.items()}
+    return models
 
 
 def _cmd_retrieve(args) -> int:
@@ -692,6 +697,8 @@ def main(argv=None) -> int:
     r.add_argument("--batch", type=int, default=256)
     r.add_argument("--spell-correct", action="store_true",
                    help="repair out-of-vocabulary query terms by trigram vocabulary matching (tdr.text.spell) before scoring")
+    r.add_argument("--prf", action="store_true",
+                   help="RM3 pseudo-relevance feedback: mine the first pass's top docs for expansion terms, re-score once (tdr.rank.feedback)")
     r.set_defaults(fn=_cmd_retrieve)
 
     e = sub.add_parser("eval", help="recall@k / mrr@k report on labeled queries")
@@ -701,6 +708,8 @@ def main(argv=None) -> int:
     e.add_argument("--batch", type=int, default=256)
     e.add_argument("--spell-correct", action="store_true",
                    help="repair out-of-vocabulary query terms by trigram vocabulary matching (tdr.text.spell) before scoring")
+    e.add_argument("--prf", action="store_true",
+                   help="RM3 pseudo-relevance feedback: mine the first pass's top docs for expansion terms, re-score once (tdr.rank.feedback)")
     e.set_defaults(fn=_cmd_eval)
 
     c = sub.add_parser("cascade", help="cosine candidates -> BM25 re-rank")

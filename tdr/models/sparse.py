@@ -50,6 +50,20 @@ class SparseModel:
     # (tdr.text.spell) — lifts typo'd-query recall; off by default so the
     # default pipeline matches the reference's drop-unknown-terms behavior
     spell_correct: bool = False
+    # RM3-style pseudo-relevance feedback (tdr.rank.feedback): mine the
+    # first pass's top prf_docs documents for prf_terms expansion terms and
+    # re-score once with beta-interpolated weights.  Off by default (the
+    # reference scores each query exactly once); costs a second scoring
+    # dispatch per batch plus a one-time doc-major index build.
+    # defaults are the best full-scale sweep point (268k docs, hard mode:
+    # F3/E5/b0.3/m2 = +0.4 recall vs F5/E10/b0.4 = -1.0; RM3 is
+    # aggressiveness-sensitive — prefer gentle expansion at scale)
+    prf: bool = False
+    prf_docs: int = 3
+    prf_terms: int = 5
+    prf_beta: float = 0.3
+    prf_min_docs: int = 2     # expansion terms must occur in >= this many
+                              # feedback docs (single-doc terms drift)
 
     def _repairer(self):
         """Lazily-built trigram repairer over this partition's UNIGRAM
@@ -106,13 +120,42 @@ class SparseModel:
         return jnp.asarray(qids), jnp.asarray(qw)
 
     def topk_encoded_async(self, qids, qw, k: int = 10):
-        """Scoring from already-encoded (device or host) query arrays."""
+        """Scoring from already-encoded (device or host) query arrays.
+        With ``prf`` enabled this runs the two-pass feedback loop — both
+        passes dispatch without host round trips in between."""
+        if self.prf:
+            qids, qw = self._prf_expand(jnp.asarray(qids), jnp.asarray(qw))
+        return self._score_encoded(qids, qw, k)
+
+    def _score_encoded(self, qids, qw, k: int):
         if self.use_fused_topk:
             return score_and_topk_fused(self.index, qids, qw, top_k=k,
                                         tail_budget=self.tail_budget,
                                         tail_engine=self._resolved_tail_engine(),
                                         topk_mode=self.topk_mode)
         return score_and_topk(self.index, qids, qw, top_k=k)
+
+    def _doc_major(self):
+        """Doc-major CSR mirror for feedback mining (lazy, per instance)."""
+        dmi = getattr(self, "_doc_major_cache", None)
+        if dmi is None:
+            from tdr.rank.feedback import build_doc_major
+
+            dmi = build_doc_major(self.index)
+            self._doc_major_cache = dmi
+        return dmi
+
+    def _prf_expand(self, qids, qw):
+        """First pass at k=prf_docs, then RM3 term mining + interpolation —
+        returns the widened (Q, T+E) query arrays for the second pass."""
+        from tdr.rank.feedback import prf_expand
+
+        fb_vals, fb_rows = self._score_encoded(qids, qw, self.prf_docs)
+        return prf_expand(self._doc_major(), self.index.vocab_size,
+                          qids, qw, fb_vals, fb_rows,
+                          n_expand=self.prf_terms,
+                          n_feedback=self.prf_docs, beta=self.prf_beta,
+                          min_docs=self.prf_min_docs)
 
     # -- scoring -------------------------------------------------------------
 

@@ -1,0 +1,166 @@
+"""Pseudo-relevance feedback (RM3-style query expansion) — beyond-reference.
+
+The reference pipelines score each query exactly once
+(/root/reference/bm25_ranking.ipynb:206-213 retrieve_top_n;
+final_implementation.py's batch drivers are the same single pass).  Classic
+IR systems (Lucene/Anserini RM3) instead mine the FIRST pass's top
+documents for expansion terms and re-score once with the enriched query —
+a large recall lever exactly when the query's own terms are weak (typos,
+paraphrase, short queries), which is the hard-mode failure case.
+
+TPU-first design — everything after the first pass is ONE fused dispatch:
+
+* a doc-major mirror of the flat CSR (``DocMajorIndex``) is built once per
+  model by a single jitted sort (term-major slots → doc-major), giving
+  each document's (term, score-weight) row as a contiguous segment;
+* ``prf_expand`` gathers the top-F feedback docs' segments (static width
+  ``p_doc`` = the partition's widest doc, rounded up for shape bucketing),
+  weights each slot by its doc's normalized first-pass score, reduces
+  duplicate terms with the same sorted-run segment-sum the scoring engine
+  uses (score.py), masks terms already present in the query, and emits the
+  top-E expansion terms with RM3-interpolated weights ``beta * w/max(w)``
+  appended to the original (qids, qw) — so the second pass is the ordinary
+  scoring engine on a (Q, T+E) query batch, and duplicate-free by
+  construction (the head scatter and the tail walk are ADDITIVE in
+  repeated term ids, so masking query-present terms is what keeps the
+  original weights intact).
+
+Per-query work is O(F · p_doc · log(F · p_doc)) on the VPU; there are no
+host round trips between the two passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdr.index.build import SparseIndex
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DocMajorIndex:
+    """Doc-major mirror of a SparseIndex's flat CSR (feedback mining)."""
+
+    terms: jnp.ndarray       # (nnz_pad,) int32 term id, doc-major sorted
+    w: jnp.ndarray           # (nnz_pad,) float32 score weight of the slot
+    doc_start: jnp.ndarray   # (n_docs_pad + 1,) int32 CSR offsets by doc
+
+    p_doc: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def build_doc_major(index: SparseIndex, pad_multiple: int = 64) -> DocMajorIndex:
+    """Host-side one-time inversion of the CSR (numpy argsort).
+
+    Deliberately NOT jitted: each (nnz_pad, vocab) shape would pay a
+    30-190 s remote compile on the tunnel backend (measured 195 s across
+    the 7 reference-scale languages for a sort numpy does in seconds),
+    and the mirror is built once per model.  ``p_doc`` (the static gather
+    width the expansion jit specializes on) is the widest doc rounded up
+    to ``pad_multiple`` so nearby corpora share a compile."""
+    indptr = np.asarray(index.indptr)
+    pd = np.asarray(index.postings_doc)
+    pw = np.asarray(index.postings_w)
+    nnz = int(indptr[-1])
+    term_of = np.repeat(
+        np.arange(indptr.shape[0] - 1, dtype=np.int32),
+        np.diff(indptr).astype(np.int64))
+    order = np.argsort(pd[:nnz], kind="stable")
+    t_s = np.zeros(pd.shape[0], np.int32)
+    w_s = np.zeros(pd.shape[0], np.float32)
+    t_s[:nnz] = term_of[order]
+    w_s[:nnz] = pw[:nnz][order]
+    d_sorted = pd[:nnz][order]
+    doc_start = np.searchsorted(
+        d_sorted, np.arange(index.n_docs_pad + 1), side="left"
+    ).astype(np.int32)
+    widest = int(np.max(np.diff(doc_start))) if index.n_docs_pad else 1
+    p_doc = int(np.ceil(max(widest, 1) / pad_multiple)) * pad_multiple
+    return DocMajorIndex(terms=jnp.asarray(t_s), w=jnp.asarray(w_s),
+                         doc_start=jnp.asarray(doc_start), p_doc=p_doc)
+
+
+@partial(jax.jit, static_argnames=("n_expand", "n_feedback", "min_docs"))
+def prf_expand(
+    dmi: DocMajorIndex,
+    vocab_size: int,
+    qids: jnp.ndarray,          # (Q, T) int32
+    qw: jnp.ndarray,            # (Q, T) float32
+    fb_vals: jnp.ndarray,       # (Q, >=F) first-pass scores (desc)
+    fb_rows: jnp.ndarray,       # (Q, >=F) first-pass doc rows
+    n_expand: int = 10,
+    n_feedback: int = 5,
+    beta: float = 0.4,
+    min_docs: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RM3 expansion: returns (qids2 (Q, T+E), qw2 (Q, T+E))."""
+    Q, T = qids.shape
+    F, E, P = n_feedback, n_expand, dmi.p_doc
+
+    vals_f = fb_vals[:, :F]
+    rows_f = fb_rows[:, :F]
+    finite = jnp.isfinite(vals_f) & (vals_f > 0)
+    rows_f = jnp.where(finite, rows_f, 0)
+    # relevance-model doc weights: scores normalized over the feedback set
+    # (BM25/tf-idf scores are >= 0)
+    sv = jnp.where(finite, vals_f, 0.0)
+    w_d = sv / jnp.maximum(jnp.sum(sv, axis=1, keepdims=True), 1e-9)
+
+    # gather each feedback doc's (term, weight) segment at static width P
+    start = dmi.doc_start[rows_f]                            # (Q, F)
+    dlen = dmi.doc_start[rows_f + 1] - start
+    offs = jax.lax.broadcasted_iota(jnp.int32, (Q, F, P), 2)
+    m = (offs < dlen[..., None]) & finite[..., None]
+    pos = jnp.clip(start[..., None] + offs, 0, dmi.terms.shape[0] - 1)
+    g_terms = jnp.where(m, dmi.terms[pos], vocab_size)       # sentinel last
+    g_w = jnp.where(m, dmi.w[pos] * w_d[..., None], 0.0)
+
+    # accumulate duplicate terms across the F docs: sort by term, sorted
+    # segment-sum (cumsum minus run base — the score.py pattern), run-last
+    # slot carries the total
+    W = F * P
+    t_flat = g_terms.reshape(Q, W)
+    w_flat = g_w.reshape(Q, W)
+    t_s, w_s = jax.lax.sort((t_flat, w_flat), num_keys=1)
+    cs = jnp.cumsum(w_s, axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), t_s[:, 1:] != t_s[:, :-1]], axis=1)
+    is_last = jnp.concatenate(
+        [t_s[:, 1:] != t_s[:, :-1], jnp.ones((Q, 1), bool)], axis=1)
+    base = jax.lax.cummax(jnp.where(is_first, cs - w_s, -jnp.inf), axis=1)
+    total = cs - base
+
+    # co-occurrence evidence: each feedback doc contributes at most one
+    # slot per term (doc rows are unique-term), so the run length IS the
+    # number of feedback docs containing the term — requiring >= min_docs
+    # rejects single-doc idiosyncrasies (the expansion-drift failure mode
+    # measured at 268k docs: one near-topic doc's private terms hijack the
+    # expansion)
+    pos_i = jax.lax.broadcasted_iota(jnp.int32, (Q, W), 1)
+    run_start = jax.lax.cummax(jnp.where(is_first, pos_i, -1), axis=1)
+    run_len = pos_i - run_start + 1
+
+    # mask terms the query already carries (head scatter / tail walk are
+    # additive in duplicates — expansion must not reweight original terms)
+    q_active = qw > 0
+    present = jnp.any(
+        (t_s[:, :, None] == qids[:, None, :]) & q_active[:, None, :], axis=2)
+    cand = jnp.where(is_last & (t_s < vocab_size) & ~present & (total > 0)
+                     & (run_len >= min_docs),
+                     total, -jnp.inf)
+
+    ew, esel = jax.lax.top_k(cand, E)                        # (Q, E)
+    eterm = jnp.take_along_axis(t_s, esel, axis=1)
+    ok = jnp.isfinite(ew)
+    norm = jnp.maximum(jnp.max(jnp.where(ok, ew, 0.0), axis=1, keepdims=True),
+                       1e-9)
+    e_w = jnp.where(ok, beta * ew / norm, 0.0)
+    e_t = jnp.where(ok, eterm, 0)
+
+    return (jnp.concatenate([qids, e_t], axis=1),
+            jnp.concatenate([qw, e_w.astype(qw.dtype)], axis=1))
