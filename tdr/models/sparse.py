@@ -55,15 +55,16 @@ class SparseModel:
     # re-score once with beta-interpolated weights.  Off by default (the
     # reference scores each query exactly once); costs a second scoring
     # dispatch per batch plus a one-time doc-major index build.
-    # defaults are the best full-scale sweep point (268k docs, hard mode:
-    # F3/E5/b0.3/m2 = +0.4 recall vs F5/E10/b0.4 = -1.0; RM3 is
-    # aggressiveness-sensitive — prefer gentle expansion at scale)
+    # defaults live in tdr.rank.feedback (the best full-scale sweep point:
+    # 268k docs hard mode, F3/E5/b0.3/m2 = +0.4 recall vs F5/E10/b0.4 =
+    # -1.0; RM3 is aggressiveness-sensitive — prefer gentle expansion)
     prf: bool = False
-    prf_docs: int = 3
-    prf_terms: int = 5
-    prf_beta: float = 0.3
-    prf_min_docs: int = 2     # expansion terms must occur in >= this many
-                              # feedback docs (single-doc terms drift)
+    prf_docs: int = 3         # = feedback.DEFAULT_FEEDBACK_DOCS
+    prf_terms: int = 5        # = feedback.DEFAULT_EXPAND_TERMS
+    prf_beta: float = 0.3     # = feedback.DEFAULT_BETA
+    prf_min_docs: int = 2     # = feedback.DEFAULT_MIN_DOCS; expansion
+                              # terms must occur in >= this many feedback
+                              # docs (single-doc terms drift)
 
     def _repairer(self):
         """Lazily-built trigram repairer over this partition's UNIGRAM
@@ -136,13 +137,16 @@ class SparseModel:
         return score_and_topk(self.index, qids, qw, top_k=k)
 
     def _doc_major(self):
-        """Doc-major CSR mirror for feedback mining (lazy, per instance)."""
-        dmi = getattr(self, "_doc_major_cache", None)
+        """Doc-major CSR mirror for feedback mining.  Cached ON the index
+        object: model copies made with ``dataclasses.replace`` (the bench
+        and CLI knob-toggle pattern) share the index, and a per-model
+        cache would rebuild and hold duplicate device mirrors."""
+        dmi = getattr(self.index, "_doc_major_cache", None)
         if dmi is None:
             from tdr.rank.feedback import build_doc_major
 
             dmi = build_doc_major(self.index)
-            self._doc_major_cache = dmi
+            object.__setattr__(self.index, "_doc_major_cache", dmi)
         return dmi
 
     def _prf_expand(self, qids, qw):

@@ -41,6 +41,20 @@ import numpy as np
 
 from tdr.index.build import SparseIndex
 
+# shipped defaults = the best point of the full-scale sweep (268k docs,
+# hard mode): gentle expansion.  The aggressive classic-RM3 point
+# (F=5, E=10, beta=0.4) LOSES ~1 recall point at that scale
+# (ARCHITECTURE.md "RM3 pseudo-relevance feedback").  SparseModel's prf_*
+# fields mirror these — keep them in one place.
+DEFAULT_FEEDBACK_DOCS = 3
+DEFAULT_EXPAND_TERMS = 5
+DEFAULT_BETA = 0.3
+DEFAULT_MIN_DOCS = 2
+# cap on the per-doc segment width the expansion jit specializes on: one
+# pathological wide doc would otherwise inflate EVERY query's sort and
+# present-mask working set (W = F * p_doc slots/query)
+MAX_P_DOC = 1024
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -71,17 +85,38 @@ def build_doc_major(index: SparseIndex, pad_multiple: int = 64) -> DocMajorIndex
         np.arange(indptr.shape[0] - 1, dtype=np.int32),
         np.diff(indptr).astype(np.int64))
     order = np.argsort(pd[:nnz], kind="stable")
-    t_s = np.zeros(pd.shape[0], np.int32)
-    w_s = np.zeros(pd.shape[0], np.float32)
-    t_s[:nnz] = term_of[order]
-    w_s[:nnz] = pw[:nnz][order]
+    t_s = term_of[order]
+    w_s = pw[:nnz][order]
     d_sorted = pd[:nnz][order]
     doc_start = np.searchsorted(
         d_sorted, np.arange(index.n_docs_pad + 1), side="left"
     ).astype(np.int32)
     widest = int(np.max(np.diff(doc_start))) if index.n_docs_pad else 1
+    if widest > MAX_P_DOC:
+        # truncate outlier-wide docs to their MAX_P_DOC highest-weight
+        # terms so one pathological doc cannot inflate every query's
+        # expansion working set (mining quality is insensitive: expansion
+        # takes the top-E of the combined weights anyway)
+        keep = np.ones(nnz, bool)
+        lens = np.diff(doc_start)
+        for d in np.nonzero(lens > MAX_P_DOC)[0]:
+            lo, hi = int(doc_start[d]), int(doc_start[d + 1])
+            seg_w = w_s[lo:hi]
+            drop = np.argpartition(seg_w, len(seg_w) - MAX_P_DOC)[
+                : len(seg_w) - MAX_P_DOC]
+            keep[lo + drop] = False
+        t_s, w_s, d_sorted = t_s[keep], w_s[keep], d_sorted[keep]
+        nnz = t_s.shape[0]
+        doc_start = np.searchsorted(
+            d_sorted, np.arange(index.n_docs_pad + 1), side="left"
+        ).astype(np.int32)
+        widest = int(np.max(np.diff(doc_start)))
+    t_pad = np.zeros(max(nnz, 1), np.int32)
+    w_pad = np.zeros(max(nnz, 1), np.float32)
+    t_pad[:nnz] = t_s
+    w_pad[:nnz] = w_s
     p_doc = int(np.ceil(max(widest, 1) / pad_multiple)) * pad_multiple
-    return DocMajorIndex(terms=jnp.asarray(t_s), w=jnp.asarray(w_s),
+    return DocMajorIndex(terms=jnp.asarray(t_pad), w=jnp.asarray(w_pad),
                          doc_start=jnp.asarray(doc_start), p_doc=p_doc)
 
 
@@ -93,12 +128,21 @@ def prf_expand(
     qw: jnp.ndarray,            # (Q, T) float32
     fb_vals: jnp.ndarray,       # (Q, >=F) first-pass scores (desc)
     fb_rows: jnp.ndarray,       # (Q, >=F) first-pass doc rows
-    n_expand: int = 10,
-    n_feedback: int = 5,
-    beta: float = 0.4,
-    min_docs: int = 2,
+    n_expand: int = DEFAULT_EXPAND_TERMS,
+    n_feedback: int = DEFAULT_FEEDBACK_DOCS,
+    beta: float = DEFAULT_BETA,
+    min_docs: int = DEFAULT_MIN_DOCS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """RM3 expansion: returns (qids2 (Q, T+E), qw2 (Q, T+E))."""
+    """RM3 expansion: returns (qids2 (Q, T+E), qw2 (Q, T+E)).
+
+    Expansion weights are ``beta * w/max(w) * max(qw)`` — scaled into the
+    CALLER's query-weight regime, so idf-weighted cosine queries (whose
+    original weights sit at idf scale, 5-15) get expansion terms that
+    actually participate rather than beta-sized no-ops.  Expansion terms
+    are often tail terms; heavily-expanded long queries can cross the
+    engine's max-tail-terms compaction level and take its exact fallback —
+    the gentle default E keeps that rare (measured warm 2-pass cost 1.6x
+    a single pass at reference scale)."""
     Q, T = qids.shape
     F, E, P = n_feedback, n_expand, dmi.p_doc
 
@@ -159,7 +203,10 @@ def prf_expand(
     ok = jnp.isfinite(ew)
     norm = jnp.maximum(jnp.max(jnp.where(ok, ew, 0.0), axis=1, keepdims=True),
                        1e-9)
-    e_w = jnp.where(ok, beta * ew / norm, 0.0)
+    # scale into the caller's query-weight regime (unit BM25 weights ~1;
+    # idf cosine weights 5-15)
+    qscale = jnp.maximum(jnp.max(qw, axis=1, keepdims=True), 1e-9)
+    e_w = jnp.where(ok, beta * (ew / norm) * qscale, 0.0)
     e_t = jnp.where(ok, eterm, 0)
 
     return (jnp.concatenate([qids, e_t], axis=1),

@@ -57,6 +57,32 @@ class TestDocMajor:
         widest = max(ds[d + 1] - ds[d] for d in range(len(docs)))
         assert dmi.p_doc >= widest and dmi.p_doc % 64 == 0
 
+    def test_outlier_wide_doc_is_truncated(self):
+        """One pathological 2000-unique-term doc must not inflate p_doc
+        (and with it every query's expansion working set) past MAX_P_DOC:
+        the wide doc keeps its MAX_P_DOC highest-weight terms, every other
+        doc keeps its full segment."""
+        from tdr.rank.feedback import MAX_P_DOC
+
+        docs = [[f"w{j}" for j in range(2000)]] + \
+               [[f"a{i}_{j}" for j in range(5)] for i in range(30)]
+        vocab = build_vocab(docs)
+        coo = encode_docs(docs, vocab)
+        idx = build_index(*coo, vocab.size, index_cfg=CFG, head_size=16)
+        dmi = build_doc_major(idx)
+        ds = np.asarray(dmi.doc_start)
+        assert ds[1] - ds[0] == MAX_P_DOC
+        assert dmi.p_doc == MAX_P_DOC
+        for d in range(1, 31):
+            assert ds[d + 1] - ds[d] == 5
+        # kept slots are the wide doc's highest-weight terms
+        w = np.asarray(dmi.w)[ds[0]:ds[1]]
+        indptr = np.asarray(idx.indptr)
+        pw = np.asarray(idx.postings_w)
+        pd_host = np.asarray(idx.postings_doc)
+        all_w0 = np.sort(pw[:int(indptr[-1])][pd_host[:int(indptr[-1])] == 0])
+        np.testing.assert_allclose(np.sort(w), all_w0[-MAX_P_DOC:], rtol=1e-6)
+
     def test_pad_docs_are_empty(self):
         rng = np.random.RandomState(4)
         docs, vocab, coo, idx = _world(rng, n_docs=50)
@@ -125,12 +151,13 @@ class TestExpansion:
 
 
 class TestModelSurface:
+    _controlled = TestExpansion._controlled
+
     def test_prf_recall_on_weak_queries(self):
         """Hard case the feature exists for: the query carries ONE shared
         topic term plus junk; BM25 alone cannot separate the target from
         its topic-mates, feedback's co-occurrence terms must not HURT, and
         a query whose own term is too weak gains candidates."""
-        rng = np.random.RandomState(11)
         # topic docs share topic terms AND each carries a signature
         docs = [[f"top{i % 4}_a", f"top{i % 4}_b", f"top{i % 4}_c",
                  f"sig{i}"] for i in range(60)]
@@ -148,12 +175,34 @@ class TestModelSurface:
         assert hit1 >= hit0  # expansion must not lose resolvable targets
 
     def test_prf_off_is_identical_to_base(self):
+        """Turning prf ON and back OFF must leave the off path bit-identical
+        to a model that never ran feedback (no cached-state leakage)."""
         rng = np.random.RandomState(13)
         docs, vocab, coo, idx = _world(rng)
         ids = [f"d{i}" for i in range(len(docs))]
         m0 = BM25Model.build(docs, ids, index_cfg=CFG)
         m1 = BM25Model.build(docs, ids, index_cfg=CFG)
-        m1.prf = False
         q = [list(docs[i][:3]) for i in range(10)]
+        m1.prf = True
+        m1.topk_tokens(q, k=10)          # runs the two-pass loop
+        m1.prf = False
         np.testing.assert_array_equal(
             m0.topk_tokens(q, k=10)[1], m1.topk_tokens(q, k=10)[1])
+
+    def test_prf_idf_weighted_expansion_participates(self):
+        """On idf-weighted cosine queries the expansion weights must land
+        in the idf scale (beta * max(qw)), not at unit scale where they
+        would be ranking no-ops."""
+        docs, ids = self._controlled()
+        from tdr.models import TfidfCosineModel
+
+        m = TfidfCosineModel.build(docs, ids, index_cfg=CFG)
+        qids, qw = m.encode_query_tokens([["alpha"]])
+        vals, rows = m._score_encoded(qids, qw, 5)
+        q2, w2 = prf_expand(m._doc_major(), m.index.vocab_size, qids, qw,
+                            vals, rows, n_expand=4, n_feedback=5, beta=0.5)
+        T = qids.shape[1]
+        w_exp = np.asarray(w2)[0, T:]
+        q_max = float(np.asarray(qw)[0].max())
+        assert q_max > 1.0               # idf scale, not unit
+        assert w_exp.max() > 0.4 * q_max
