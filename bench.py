@@ -435,6 +435,18 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
     t0 = time.perf_counter()
     res2, s1 = lm.retrieve(q_ev, l_ev, k=10, with_stage1=True)
     dt2 = time.perf_counter() - t0
+
+    # RRF ensemble: doc-level BM25 + the sentence cascade are DIFFERENT
+    # engines over the same corpus (doc-granular lexical vs
+    # sentence-granular lexical→dense); reciprocal-rank fusing their top-k
+    # lists measured +2 recall points over the best single engine at 20k
+    # docs — report the at-scale number next to both singles
+    from tdr.rank import LanguageRouter, build_language_models, rrf_fuse
+
+    doc_models = build_language_models(corpus2)
+    res_doc = LanguageRouter(doc_models, query_batch=lm.query_batch).retrieve(
+        q_ev, l_ev, k=10)
+    rrf_recall = recall_at_k(rrf_fuse([res_doc, res2], k=10), p_ev, 10)
     out.update({
         "sentence_lm_cascade_qps": round(sent_queries / dt2, 1),
         "sentence_lm_cascade_recall_at_10": round(
@@ -446,6 +458,8 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
             recall_at_k(s1, p_ev, 10), 4),
         "sentence_candidate_ceiling_recall": round(
             recall_at_k(s1, p_ev, max(len(r) for r in s1)), 4),
+        "doc_bm25_recall_at_10": round(recall_at_k(res_doc, p_ev, 10), 4),
+        "rrf_doc_cascade_recall_at_10": round(rrf_recall, 4),
         "sentence_fusion_alpha": lm.fusion_alpha,
         "sentence_doc_agg_weight": lm.doc_agg_weight,
         "sentence_encoder_loss_curve": train_metrics.get("loss_curve"),
