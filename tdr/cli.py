@@ -193,6 +193,12 @@ def _cmd_serve(args) -> int:
     if not getattr(args, "mutable", False):
         models = _apply_spell(load_registry(args.index), args)
     else:
+        if getattr(args, "prf", False):
+            log.error("--prf is read-only-serving only: expanding the main "
+                      "segment's queries but not the delta's would break "
+                      "cross-segment score comparability (delta docs would "
+                      "be systematically under-ranked)")
+            return 2
         models = _load_mutable_models(args, log)
     router = LanguageRouter(models, query_batch=args.batch)
     # warm EVERY compile bucket for EVERY language before accepting
@@ -753,6 +759,12 @@ def main(argv=None) -> int:
     sv.add_argument("--spell-correct", action="store_true",
                     help="repair out-of-vocabulary query terms by trigram "
                          "vocabulary matching (tdr.text.spell) before scoring")
+    sv.add_argument("--prf", action="store_true",
+                    help="RM3 pseudo-relevance feedback (tdr.rank.feedback); "
+                         "read-only serving only — with --mutable it is "
+                         "refused (expanding the main segment's queries but "
+                         "not the delta's would break cross-segment score "
+                         "comparability)")
     sv.add_argument("--state-dir", default=None, dest="state_dir",
                     help="with --mutable: restore segmented state from this "
                          "directory on startup (if it exists) and save it "

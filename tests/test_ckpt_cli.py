@@ -285,6 +285,35 @@ def test_cli_serve_json_lines(tmp_path):
     assert [r["query"] for r in results] == list(queries.queries[:4])
 
 
+def test_cli_serve_mutable_refuses_prf(tmp_path):
+    """--prf + --mutable must be refused at startup (rc=2): expanding the
+    main segment's queries but not the delta's would break cross-segment
+    score comparability."""
+    import subprocess
+    import sys as _sys
+
+    from tdr.ckpt import save_registry
+    from tdr.data import synthetic_corpus, SyntheticSpec
+    from tdr.models import BM25Model
+    from tdr.rank import build_language_models
+    from tdr.utils.config import IndexConfig
+
+    corpus, _ = synthetic_corpus(
+        SyntheticSpec(n_docs=60, n_queries=2, seed=3, langs=("en",),
+                      ref_proportions=False))
+    models = build_language_models(
+        corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
+    save_registry(str(tmp_path / "idx"), models)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [_sys.executable, "-m", "tdr.cli", "serve", "--mutable", "--prf",
+         "--index", str(tmp_path / "idx")],
+        input=b"", capture_output=True, timeout=570, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 2
+    assert b"comparability" in p.stderr
+
+
 def test_cli_serve_rejects_bad_requests_without_dying(tmp_path):
     """Valid-JSON-but-wrong-shape requests must answer with an error line
     and leave the server alive for subsequent requests."""
