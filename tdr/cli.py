@@ -624,6 +624,45 @@ def _cmd_validate(args) -> int:
     return 0
 
 
+def _cmd_fuse(args) -> int:
+    """Reciprocal-rank-fuse finished submission files into one (the
+    measured +2-recall ensemble, ARCHITECTURE.md "Engine ensembling").
+    Inputs must rank the same query ids; order follows the first input."""
+    from tdr.eval import read_submission, validate_submission, write_submission
+    from tdr.rank import rrf_fuse
+    from tdr.utils.trace import log
+
+    ids0 = None
+    rankings = []
+    for path in args.inputs:
+        ids, ranking = read_submission(path)
+        if ids0 is None:
+            ids0 = ids
+        elif ids != ids0:
+            if sorted(ids) != sorted(ids0):
+                log.error("%s ranks different query ids than %s", path,
+                          args.inputs[0])
+                return 1
+            order = {q: i for i, q in enumerate(ids)}
+            ranking = [ranking[order[q]] for q in ids0]
+        rankings.append(ranking)
+    weights = ([float(w) for w in args.weights.split(",")]
+               if args.weights else None)
+    if weights and len(weights) != len(rankings):
+        log.error("need one weight per input (%d inputs, %d weights)",
+                  len(rankings), len(weights))
+        return 1
+    fused = rrf_fuse(rankings, k=args.k, rrf_k=args.rrf_k, weights=weights)
+    write_submission(fused, args.out, ids=ids0, k=args.k)
+    problems = validate_submission(args.out, expect_k=args.k)
+    if problems:
+        log.warning("fused submission validation problems: %s", problems[:5])
+        return 1
+    log.info("fused %d engines over %d queries -> %s",
+             len(rankings), len(ids0 or []), args.out)
+    return 0
+
+
 def _cmd_synth(args) -> int:
     from tdr.data import synthetic_corpus, SyntheticSpec
 
@@ -717,6 +756,19 @@ def main(argv=None) -> int:
     e.add_argument("--prf", action="store_true",
                    help="RM3 pseudo-relevance feedback: mine the first pass's top docs for expansion terms, re-score once (tdr.rank.feedback)")
     e.set_defaults(fn=_cmd_eval)
+
+    fu = sub.add_parser(
+        "fuse", help="reciprocal-rank-fuse submission files (ensemble)")
+    fu.add_argument("--inputs", nargs="+", required=True,
+                    help="two or more submission.csv files over the same "
+                         "query ids (either write_submission format)")
+    fu.add_argument("--out", default="fused.csv")
+    fu.add_argument("--k", type=int, default=10)
+    fu.add_argument("--rrf-k", type=int, default=60, dest="rrf_k",
+                    help="RRF constant (Cormack et al.: 60)")
+    fu.add_argument("--weights", default=None,
+                    help="comma-separated per-engine weights, e.g. 1,2")
+    fu.set_defaults(fn=_cmd_fuse)
 
     c = sub.add_parser("cascade", help="cosine candidates -> BM25 re-rank")
     c.add_argument("--candidates-index", required=True, help="cosine registry")

@@ -1,5 +1,5 @@
 from tdr.eval.metrics import recall_at_k, mrr_at_k, ndcg_at_k, evaluate_retrieval, macro_f1
-from tdr.eval.submission import write_submission, validate_submission
+from tdr.eval.submission import write_submission, validate_submission, read_submission
 
 __all__ = [
     "recall_at_k",
@@ -9,4 +9,5 @@ __all__ = [
     "evaluate_retrieval",
     "write_submission",
     "validate_submission",
+    "read_submission",
 ]

@@ -35,6 +35,33 @@ def write_submission(
             w.writerow([qid, str(list(docs[:k]))])
 
 
+def read_submission(path: str):
+    """(ids, rankings) from either :func:`write_submission` format —
+    the inverse used by ``tdr fuse`` to ensemble finished runs."""
+    ids: List[str] = []
+    rankings: List[List[str]] = []
+    with open(path) as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        hs = [h.strip() for h in header] if header else []
+        wide = (len(hs) > 1 and hs[0] == "id"
+                and all(h == f"doc_{j + 1}" for j, h in enumerate(hs[1:])))
+        if not wide and hs[:2] != ["id", "docids"]:
+            raise ValueError(f"unrecognized submission header: {header}")
+        for row in reader:
+            if not row:
+                continue
+            ids.append(row[0])
+            if wide:
+                rankings.append([d for d in row[1:] if d != ""])
+            else:
+                docs = ast.literal_eval(row[1])
+                if not isinstance(docs, list):
+                    raise ValueError(f"row {row[0]}: docids is not a list")
+                rankings.append([str(d) for d in docs])
+    return ids, rankings
+
+
 def validate_submission(path: str, expect_k: int = 10) -> List[str]:
     """Returns a list of problems (empty = valid).
 
