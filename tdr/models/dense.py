@@ -153,6 +153,49 @@ def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
     return vals, rows
 
 
+@partial(jax.jit, static_argnames=("top_k", "n_feedback", "approx",
+                                   "recall_target"))
+def flat_search_prf(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
+                    n_feedback: int = 3, alpha: float = 0.5,
+                    approx: bool = False, recall_target: float = 0.95):
+    """Rocchio pseudo-relevance feedback for dense search (the embedding-
+    space sibling of the sparse engine's RM3, tdr.rank.feedback): first
+    pass top-F, pull the query toward the feedback centroid, one second
+    pass.  Two matmuls, no host round trip — both passes trace into one
+    jit.
+
+    ``metric="ip"``: the refined query is rescaled to the ORIGINAL query
+    norm so inner-product scores stay on the caller's scale (and alpha=0
+    is bit-identical to plain flat_search).  ``metric="l2"``: classic
+    interpolation ``(1-alpha)·q + alpha·centroid`` in the unnormalized
+    space.  Feedback embeddings dequantize per-doc for int8 (SQ8)
+    indexes."""
+    fb_vals, fb_rows = flat_search(index, q, top_k=n_feedback,
+                                   approx=approx,
+                                   recall_target=recall_target)
+    finite = jnp.isfinite(fb_vals)
+    rows_safe = jnp.where(finite, fb_rows, 0)
+    emb = index.embeddings[rows_safe].astype(jnp.float32)   # (Q, F, D)
+    if index.embeddings.dtype == jnp.int8:
+        emb = emb * index.doc_scale[rows_safe][..., None]
+    w = finite.astype(jnp.float32)
+    centroid = (jnp.sum(emb * w[..., None], axis=1)
+                / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9))
+    qf = q.astype(jnp.float32)
+    if index.metric == "l2":
+        q2 = (1.0 - alpha) * qf + alpha * centroid
+    else:
+        q2 = qf + alpha * centroid
+        qn = jnp.linalg.norm(qf, axis=1, keepdims=True)
+        q2n = jnp.maximum(jnp.linalg.norm(q2, axis=1, keepdims=True), 1e-9)
+        q2 = q2 * (qn / q2n)
+    # a query with NO finite feedback (empty index slice) keeps itself
+    any_fb = jnp.any(finite, axis=1, keepdims=True)
+    q2 = jnp.where(any_fb, q2, qf)
+    return flat_search(index, q2.astype(q.dtype), top_k=top_k,
+                       approx=approx, recall_target=recall_target)
+
+
 def build_flat_index(embeddings: np.ndarray, pad_multiple: int = 128,
                      metric: str = "ip", dtype: str = "bfloat16") -> FlatIndex:
     """``dtype="bfloat16"`` (default): the search matmul runs in bf16

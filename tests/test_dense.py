@@ -81,6 +81,67 @@ class TestFlatSearch:
         assert np.asarray(rows).max() < 10
 
 
+class TestFlatPrf:
+    """Rocchio pseudo-relevance feedback on the dense path
+    (flat_search_prf) — the embedding-space sibling of the sparse RM3."""
+
+    def _clustered(self, rng, dtype="bfloat16"):
+        """4 tight clusters of 25 docs; each query is a noisy view of a
+        cluster member — pulling toward the feedback centroid must help."""
+        from tdr.models.dense import build_flat_index
+
+        centers = rng.randn(4, 32).astype(np.float32) * 3
+        emb = np.concatenate([
+            c + 0.3 * rng.randn(25, 32).astype(np.float32) for c in centers])
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb, build_flat_index(emb, pad_multiple=32, dtype=dtype)
+
+    def test_alpha0_is_plain_search(self):
+        from tdr.models.dense import flat_search_prf
+
+        rng = np.random.RandomState(5)
+        emb, index = self._clustered(rng)
+        q = jnp.asarray(emb[[3, 40, 77]] + 0.1)
+        v0, r0 = flat_search(index, q, top_k=5)
+        v1, r1 = flat_search_prf(index, q, top_k=5, alpha=0.0)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+    def test_feedback_recovers_noisy_queries(self):
+        """Queries noised until plain search misses their target in the
+        top-5: feedback must recover at least as many targets."""
+        from tdr.models.dense import flat_search_prf
+
+        rng = np.random.RandomState(6)
+        emb, index = self._clustered(rng)
+        targets = list(range(0, 100, 7))
+        q = emb[targets] + 0.55 * rng.randn(len(targets), 32).astype(np.float32)
+        q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+        _, r0 = flat_search(index, q, top_k=5)
+        _, r1 = flat_search_prf(index, q, top_k=5, n_feedback=5, alpha=0.6)
+        hit0 = sum(1 for i, t in enumerate(targets) if t in np.asarray(r0)[i])
+        hit1 = sum(1 for i, t in enumerate(targets) if t in np.asarray(r1)[i])
+        assert hit1 >= hit0
+        # and the cluster coherence must improve: feedback results come
+        # from the target's cluster more often
+        cl0 = sum(1 for i, t in enumerate(targets)
+                  for d in np.asarray(r0)[i] if d // 25 == t // 25)
+        cl1 = sum(1 for i, t in enumerate(targets)
+                  for d in np.asarray(r1)[i] if d // 25 == t // 25)
+        assert cl1 >= cl0
+
+    def test_int8_and_l2_paths_run(self):
+        from tdr.models.dense import build_flat_index, flat_search_prf
+
+        rng = np.random.RandomState(7)
+        emb, _ = self._clustered(rng)
+        for kw in (dict(dtype="int8"), dict(metric="l2")):
+            index = build_flat_index(emb, pad_multiple=32, **kw)
+            v, r = flat_search_prf(index, jnp.asarray(emb[[1, 2]]), top_k=3)
+            assert np.isfinite(np.asarray(v)).all()
+            assert np.asarray(r)[0, 0] in range(100)
+
+
 class TestFlatL2:
     """Unnormalized-L2 flat search (IndexFlatL2 surface, VERDICT r2 missing
     #4; reference: corpus_processing_and_embedding.py:204-208 searches raw
