@@ -2,6 +2,7 @@ from tdr.parallel.dense import (
     ShardedFlatIndex,
     build_sharded_flat_index,
     sharded_flat_search,
+    sharded_flat_search_prf,
     sharded_row_to_doc,
 )
 from tdr.parallel.mesh import make_mesh, data_sharding, replicated
@@ -23,6 +24,7 @@ __all__ = [
     "ShardedFlatIndex",
     "build_sharded_flat_index",
     "sharded_flat_search",
+    "sharded_flat_search_prf",
     "sharded_row_to_doc",
     "ShardedSparseIndex",
     "build_sharded_index",

@@ -182,6 +182,75 @@ def sharded_flat_search(
     return vals, rows
 
 
+@partial(jax.jit, static_argnames=("mesh", "top_k", "n_feedback", "approx",
+                                   "recall_target"))
+def sharded_flat_search_prf(
+    mesh: Mesh,
+    sindex: ShardedFlatIndex,
+    q: jnp.ndarray,
+    top_k: int = 10,
+    n_feedback: int = 3,
+    alpha: float = 0.5,
+    approx: bool = False,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rocchio feedback over the doc-sharded matrix (the mesh version of
+    ``tdr.models.dense.flat_search_prf``).
+
+    The feedback centroid is computed WITHOUT materializing a gather over
+    the sharded embeddings: each device sums the feedback rows IT owns
+    (global row ids decompose as shard·n_loc_pad + local) and a ``psum``
+    over "data" merges the partial sums — k·F·D floats of ICI traffic per
+    query batch, the same collective economics as the top-k merge.  The
+    refined queries then take the ordinary sharded second pass.  Scoring
+    math matches the single-device function exactly (doc axis = output
+    axis), so results agree with ``flat_search_prf`` up to first-pass
+    ties."""
+    fb_vals, fb_rows = sharded_flat_search(
+        mesh, sindex, q, top_k=n_feedback, approx=approx,
+        recall_target=recall_target)
+    finite = jnp.isfinite(fb_vals)
+    n_loc_pad = sindex.n_loc_pad
+    is_int8 = sindex.embeddings.dtype == jnp.int8
+
+    def local_centroid(emb, doc_scale, fb_rows, finite):
+        s = jax.lax.axis_index("data")
+        local = fb_rows - s * n_loc_pad                    # (Q, F)
+        mine = (local >= 0) & (local < n_loc_pad) & finite
+        lsafe = jnp.clip(local, 0, n_loc_pad - 1)
+        e = emb[0][lsafe].astype(jnp.float32)              # (Q, F, D)
+        if is_int8:
+            e = e * doc_scale[0][lsafe][..., None]
+        e = jnp.where(mine[..., None], e, 0.0)
+        part = jnp.sum(e, axis=1)                          # (Q, D)
+        cnt = jnp.sum(mine, axis=1).astype(jnp.float32)    # (Q,)
+        return (jax.lax.psum(part, "data"),
+                jax.lax.psum(cnt, "data"))
+
+    doc_scale = (sindex.doc_scale if sindex.doc_scale is not None
+                 else jnp.zeros((sindex.n_shards, 1), jnp.float32))
+    tot, cnt = jax.shard_map(
+        local_centroid, mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,   # psum outputs are device-invariant
+    )(sindex.embeddings, doc_scale, fb_rows, finite)
+    centroid = tot / jnp.maximum(cnt, 1e-9)[:, None]
+
+    qf = q.astype(jnp.float32)
+    if sindex.metric == "l2":
+        q2 = (1.0 - alpha) * qf + alpha * centroid
+    else:
+        q2 = qf + alpha * centroid
+        qn = jnp.linalg.norm(qf, axis=1, keepdims=True)
+        q2n = jnp.maximum(jnp.linalg.norm(q2, axis=1, keepdims=True), 1e-9)
+        q2 = q2 * (qn / q2n)
+    any_fb = jnp.any(finite, axis=1, keepdims=True)
+    q2 = jnp.where(any_fb, q2, qf)
+    return sharded_flat_search(mesh, sindex, q2.astype(q.dtype), top_k=top_k,
+                               approx=approx, recall_target=recall_target)
+
+
 def sharded_row_to_doc(sindex: ShardedFlatIndex, rows: np.ndarray) -> np.ndarray:
     """Map sharded global rows (shard·pad + local) back to corpus rows."""
     bounds = _shard_bounds(sindex.n_docs, sindex.n_shards)

@@ -115,3 +115,63 @@ def test_sharded_uneven_docs_and_small_k():
     scores = emb @ np.asarray(q).T
     want = np.argsort(-scores, axis=0)[:5].T
     np.testing.assert_array_equal(docs, want)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_sharded_prf_matches_single_device(dtype):
+    """Mesh Rocchio == single-device Rocchio: the psum-merged partial
+    centroid must equal the gather-based centroid, so both passes agree
+    (same clustered world as test_dense.py::TestFlatPrf)."""
+    from tdr.models.dense import flat_search_prf
+    from tdr.parallel import sharded_flat_search_prf
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, DIM).astype(np.float32) * 3
+    emb = np.concatenate(
+        [c + 0.3 * rng.randn(64, DIM).astype(np.float32) for c in centers])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[list(range(0, 256, 17))] + \
+        0.4 * rng.randn(16, DIM).astype(np.float32)
+    q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+
+    mesh = make_mesh(data=jax.device_count())
+    sflat = build_sharded_flat_index(emb, n_shards=jax.device_count(),
+                                     pad_multiple=64, dtype=dtype)
+    flat = build_flat_index(emb, pad_multiple=64, dtype=dtype)
+    v_s, r_s = sharded_flat_search_prf(mesh, sflat, q, top_k=K,
+                                       n_feedback=5, alpha=0.6)
+    v_1, r_1 = flat_search_prf(flat, q, top_k=K, n_feedback=5, alpha=0.6)
+    docs_s = sharded_row_to_doc(sflat, np.asarray(r_s))
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_1),
+                               rtol=1e-4, atol=1e-5)
+    v1 = np.asarray(v_1)
+    untied = np.ones_like(v1, bool)
+    untied[:, 1:] &= v1[:, 1:] != v1[:, :-1]
+    untied[:, :-1] &= v1[:, :-1] != v1[:, 1:]
+    np.testing.assert_array_equal(docs_s[untied], np.asarray(r_1)[untied])
+
+
+def test_sharded_prf_feedback_helps_like_single(tmp_path):
+    """The mesh feedback pass recovers noised-query targets at least as
+    well as plain sharded search (mirror of the single-device test)."""
+    from tdr.parallel import sharded_flat_search_prf
+
+    rng = np.random.RandomState(12)
+    centers = rng.randn(4, DIM).astype(np.float32) * 3
+    emb = np.concatenate(
+        [c + 0.3 * rng.randn(64, DIM).astype(np.float32) for c in centers])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    targets = list(range(0, 256, 13))
+    q = emb[targets] + 0.55 * rng.randn(len(targets), DIM).astype(np.float32)
+    q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    mesh = make_mesh(data=jax.device_count())
+    sflat = build_sharded_flat_index(emb, n_shards=jax.device_count(),
+                                     pad_multiple=64)
+    _, r0 = sharded_flat_search(mesh, sflat, q, top_k=5)
+    _, r1 = sharded_flat_search_prf(mesh, sflat, q, top_k=5,
+                                    n_feedback=5, alpha=0.6)
+    d0 = sharded_row_to_doc(sflat, np.asarray(r0))
+    d1 = sharded_row_to_doc(sflat, np.asarray(r1))
+    hit0 = sum(1 for i, t in enumerate(targets) if t in d0[i])
+    hit1 = sum(1 for i, t in enumerate(targets) if t in d1[i])
+    assert hit1 >= hit0
