@@ -632,10 +632,18 @@ def _cmd_fuse(args) -> int:
     from tdr.rank import rrf_fuse
     from tdr.utils.trace import log
 
+    if len(args.inputs) < 2:
+        log.error("fuse needs at least two inputs (got %d) — fusing one "
+                  "engine is a no-op", len(args.inputs))
+        return 1
     ids0 = None
     rankings = []
     for path in args.inputs:
         ids, ranking = read_submission(path)
+        if len(set(ids)) != len(ids):
+            log.error("%s contains duplicate query ids — aligning by id "
+                      "would silently drop rows; fix the input first", path)
+            return 1
         if ids0 is None:
             ids0 = ids
         elif ids != ids0:
@@ -645,9 +653,20 @@ def _cmd_fuse(args) -> int:
                 return 1
             order = {q: i for i, q in enumerate(ids)}
             ranking = [ranking[order[q]] for q in ids0]
+        min_depth = min((len(r) for r in ranking), default=0)
+        if min_depth < args.k:
+            log.error("%s ranks only %d docs/query but --k is %d — the "
+                      "fused file would fail validation; re-retrieve "
+                      "deeper or lower --k", path, min_depth, args.k)
+            return 1
         rankings.append(ranking)
-    weights = ([float(w) for w in args.weights.split(",")]
-               if args.weights else None)
+    try:
+        weights = ([float(w) for w in args.weights.split(",")]
+                   if args.weights else None)
+    except ValueError:
+        log.error("--weights must be comma-separated numbers, got %r",
+                  args.weights)
+        return 1
     if weights and len(weights) != len(rankings):
         log.error("need one weight per input (%d inputs, %d weights)",
                   len(rankings), len(weights))

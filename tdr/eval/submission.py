@@ -35,6 +35,14 @@ def write_submission(
             w.writerow([qid, str(list(docs[:k]))])
 
 
+def _is_wide_header(hs: List[str]) -> bool:
+    """The ``id, doc_1..doc_k`` header (one column per rank) — shared by
+    the reader and the validator so they can never disagree about which
+    files are 'wide'."""
+    return (len(hs) > 1 and hs[0] == "id"
+            and all(h == f"doc_{j + 1}" for j, h in enumerate(hs[1:])))
+
+
 def read_submission(path: str):
     """(ids, rankings) from either :func:`write_submission` format —
     the inverse used by ``tdr fuse`` to ensemble finished runs."""
@@ -44,8 +52,7 @@ def read_submission(path: str):
         reader = csv.reader(f)
         header = next(reader, None)
         hs = [h.strip() for h in header] if header else []
-        wide = (len(hs) > 1 and hs[0] == "id"
-                and all(h == f"doc_{j + 1}" for j, h in enumerate(hs[1:])))
+        wide = _is_wide_header(hs)
         if not wide and hs[:2] != ["id", "docids"]:
             raise ValueError(f"unrecognized submission header: {header}")
         for row in reader:
@@ -74,8 +81,7 @@ def validate_submission(path: str, expect_k: int = 10) -> List[str]:
         reader = csv.reader(f)
         header = next(reader, None)
         hs = [h.strip() for h in header] if header else []
-        if (len(hs) > 1 and hs[0] == "id"
-                and all(h == f"doc_{j + 1}" for j, h in enumerate(hs[1:]))):
+        if _is_wide_header(hs):
             # wide format
             if len(hs) - 1 != expect_k:
                 problems.append(

@@ -85,6 +85,37 @@ class TestFuseCli:
         p = _run_fuse("--inputs", pa, pb, "--out", str(tmp_path / "f.csv"))
         assert p.returncode == 1
 
+    def test_fuse_rejects_bad_weights_cleanly(self, tmp_path):
+        ids, pa, pb = self._subs(tmp_path)
+        p = _run_fuse("--inputs", pa, pb, "--out", str(tmp_path / "f.csv"),
+                      "--weights", "1;2")
+        assert p.returncode == 1
+        assert b"Traceback" not in p.stderr
+        assert b"comma-separated" in p.stderr
+
+    def test_fuse_rejects_single_input(self, tmp_path):
+        ids, pa, pb = self._subs(tmp_path)
+        p = _run_fuse("--inputs", pa, "--out", str(tmp_path / "f.csv"))
+        assert p.returncode == 1 and b"at least two" in p.stderr
+
+    def test_fuse_rejects_shallow_inputs_before_writing(self, tmp_path):
+        ids, pa, pb = self._subs(tmp_path)
+        a_ids, a_ranks = read_submission(pa)
+        write_submission([r[:5] for r in a_ranks], pa, ids=a_ids, k=5)
+        out = tmp_path / "f.csv"
+        p = _run_fuse("--inputs", pa, pb, "--out", str(out))
+        assert p.returncode == 1
+        assert not out.exists()          # nothing half-valid left behind
+        assert b"--k is 10" in p.stderr
+
+    def test_fuse_rejects_duplicate_ids(self, tmp_path):
+        ids, pa, pb = self._subs(tmp_path)
+        a_ids, a_ranks = read_submission(pa)
+        a_ids[1] = a_ids[0]
+        write_submission(a_ranks, pa, ids=a_ids, k=10)
+        p = _run_fuse("--inputs", pa, pb, "--out", str(tmp_path / "f.csv"))
+        assert p.returncode == 1 and b"duplicate query ids" in p.stderr
+
     def test_fuse_weights_shift_the_blend(self, tmp_path):
         ids, pa, pb = self._subs(tmp_path)
         out = str(tmp_path / "fused.csv")
