@@ -235,6 +235,15 @@ class SegmentedBM25:
         # a remote compiler); heavy churn past the largest bucket is
         # flagged below so callers know to compact (ADVICE r3: a fixed 64
         # silently dropped live docs under hot-topic delete/re-add churn)
+        if getattr(self.main, "prf", False) or (
+                self.delta is not None and getattr(self.delta, "prf", False)):
+            raise ValueError(
+                "pseudo-relevance feedback cannot run inside a segmented "
+                "store: the main and delta segments encode queries against "
+                "different vocabs, so expanding one segment's pass but not "
+                "the other's breaks cross-segment score comparability "
+                "(freshly added docs would be systematically under-ranked). "
+                "Compact first, or serve read-only with prf.")
         n_dead = len(self._dead_rows)
         if n_dead == 0:
             k_seg = k

@@ -338,6 +338,19 @@ class TestMergePolicy:
         seg3.topk_tokens([["hot"]], k=10)
         assert seg3.truncated_queries and seg3.should_compact
 
+    def test_prf_on_a_segment_model_is_refused(self):
+        """Library-level guard for the serve --mutable --prf refusal: a
+        prf-enabled main model inside a segmented store would expand only
+        its own pass and break cross-segment score comparability."""
+        toks = [["hot", f"s{i}"] for i in range(50)]
+        seg = SegmentedBM25.build(toks, [f"d{i}" for i in range(50)],
+                                  index_cfg=CFG)
+        seg.main.prf = True
+        with pytest.raises(ValueError, match="comparability"):
+            seg.topk_tokens([["hot"]], k=5)
+        seg.main.prf = False
+        seg.topk_tokens([["hot"]], k=5)       # recovers cleanly
+
     def test_should_compact_resets_after_compaction(self):
         """Round-4 review finding: truncated_queries is a lifetime counter,
         so without a reset in compact_with the hint latches True forever
