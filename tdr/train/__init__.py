@@ -6,6 +6,11 @@ from tdr.train.contrastive import (
     shard_train_state,
     train_dense_retriever,
 )
+from tdr.train.mining import (
+    concat_querysets,
+    make_pseudo_queries,
+    mine_hard_negatives,
+)
 
 __all__ = [
     "TrainState",
@@ -14,4 +19,7 @@ __all__ = [
     "make_train_step",
     "shard_train_state",
     "train_dense_retriever",
+    "concat_querysets",
+    "make_pseudo_queries",
+    "mine_hard_negatives",
 ]
