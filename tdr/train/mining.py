@@ -79,8 +79,12 @@ def mine_hard_negatives(
     guard against unlabeled positives in shallow synthetic labelings),
     and the next ``n_neg`` become that query's negatives.  Queries whose
     list exhausts (fewer than ``n_neg`` non-positives retrieved) are
-    padded from ``fallback_docids`` at random so the training tensors
-    stay rectangular.
+    padded from ``fallback_docids`` at random; if the fallback pool
+    cannot supply ``n_neg`` DISTINCT eligible negatives (or no fallback
+    was given) the query's list stays SHORT — the trainer's batcher
+    (``make_batches``) pads short lists with random corpus docs, so
+    training still works, but the pad is random, not mined; a warning
+    is logged so the degradation is visible.
 
     One batched device pass over the training queries — at bench scale
     (~2k queries) this costs well under a second warm.
@@ -92,13 +96,27 @@ def mine_hard_negatives(
     rng = np.random.RandomState(seed)
     fb = list(fallback_docids) if fallback_docids else []
     negs: List[List[str]] = []
+    n_short = 0
     for docs, pos in zip(ranked, queries.positive_docs):
         hard = [d for d in docs if d != pos][skip_top:skip_top + n_neg]
-        while len(hard) < n_neg and fb:
-            cand = fb[rng.randint(len(fb))]
-            if cand != pos and cand not in hard:
-                hard.append(cand)
+        if len(hard) < n_neg and fb:
+            # pad from a shuffled copy of the ELIGIBLE pool and stop when
+            # it is exhausted — rejection-sampling from the fixed pool
+            # hangs forever when fewer than n_neg distinct eligible ids
+            # exist (ADVICE r4: reproduced with fallback_docids=[pos])
+            pool = [d for d in set(fb) if d != pos and d not in hard]
+            rng.shuffle(pool)
+            hard.extend(pool[:n_neg - len(hard)])
+        n_short += len(hard) < n_neg
         negs.append(hard)
+    if n_short:
+        from tdr.utils.trace import log
+
+        log.warning(
+            "mine_hard_negatives: %d quer%s got fewer than n_neg=%d "
+            "negatives (retrieval exhausted and the fallback pool ran "
+            "dry) — the trainer pads them with RANDOM docs",
+            n_short, "y" if n_short == 1 else "ies", n_neg)
     return dataclasses.replace(queries, negative_docs=negs)
 
 
@@ -130,19 +148,23 @@ def make_pseudo_queries(
     if len(corpus) == 0:
         raise ValueError("make_pseudo_queries: empty corpus")
     rng = np.random.RandomState(seed)
-    tok_lists = [t.split() for t in corpus.texts]
+    tok_lists = [sorted({t for t in txt.split() if len(t) >= 2})
+                 for txt in corpus.texts]
     df = _doc_freq(tok_lists)
+    # eligible documents are fixed up front: sampling-with-retry over the
+    # whole corpus never terminates when NO document clears terms_lo
+    # (ADVICE r4: reproduced with a 2-doc corpus of short tokens)
+    eligible = np.array([i for i, t in enumerate(tok_lists)
+                         if len(t) >= terms_lo], np.int64)
+    if eligible.size == 0:
+        raise ValueError(
+            "make_pseudo_queries: no document has >= terms_lo distinct "
+            f"tokens of length >= 2 (terms_lo={terms_lo})")
     qids, q_texts, q_langs, q_pos = [], [], [], []
-    doc_pick = rng.randint(0, len(corpus), size=4 * n_queries + 16)
-    di = 0
-    while len(q_texts) < n_queries:
-        if di >= len(doc_pick):          # degenerate corpus: resample
-            doc_pick = rng.randint(0, len(corpus), size=4 * n_queries + 16)
-            di = 0
-        i = int(doc_pick[di]); di += 1
-        toks = sorted({t for t in tok_lists[i] if len(t) >= 2})
-        if len(toks) < terms_lo:
-            continue
+    doc_pick = eligible[rng.randint(0, eligible.size, size=n_queries)]
+    for i in doc_pick:
+        i = int(i)
+        toks = tok_lists[i]
         k = int(rng.randint(terms_lo, min(terms_hi, len(toks)) + 1))
         w = np.array([1.0 / df[t] for t in toks])
         sel = rng.choice(len(toks), size=k, replace=False, p=w / w.sum())

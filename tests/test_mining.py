@@ -105,6 +105,37 @@ def test_pseudo_queries_retrievable(small_world):
     assert hit >= 30   # >= 75% — df-weighted terms are distinctive
 
 
+def test_exhausted_fallback_pool_terminates(small_world):
+    """ADVICE r4 regression: a fallback pool with no eligible candidate
+    (all entries == pos) used to rejection-sample forever.  Now the list
+    simply stays short (the trainer pads downstream)."""
+    corpus, queries, router = small_world
+    one = queries.query_ids[:1], queries.queries[:1], queries.langs[:1]
+    import dataclasses
+    q1 = dataclasses.replace(queries, query_ids=list(one[0]),
+                             queries=list(one[1]), langs=list(one[2]),
+                             positive_docs=queries.positive_docs[:1],
+                             negative_docs=None)
+    pos = q1.positive_docs[0]
+    mined = mine_hard_negatives(router, q1, n_neg=400, depth=2,
+                                fallback_docids=[pos, pos])
+    assert len(mined.negative_docs[0]) < 400        # short, not hung
+    assert pos not in mined.negative_docs[0]
+    # distinct-pool padding: negatives stay unique
+    negs = mined.negative_docs[0]
+    assert len(negs) == len(set(negs))
+
+
+def test_pseudo_queries_degenerate_corpus_raises():
+    """ADVICE r4 regression: a corpus where no document clears terms_lo
+    used to resample forever; now it raises."""
+    from tdr.data.loaders import Corpus
+
+    tiny = Corpus(docids=["a", "b"], texts=["x y", "z"], langs=["en", "en"])
+    with pytest.raises(ValueError, match="terms_lo"):
+        make_pseudo_queries(tiny, 4)
+
+
 def test_concat_querysets(small_world):
     corpus, queries, router = small_world
     pqs = make_pseudo_queries(corpus, 10, seed=1)
