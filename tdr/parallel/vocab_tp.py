@@ -20,11 +20,29 @@ matmul — and TP over the vocab axis is plain matmul tensor parallelism:
   path), then an ``all_gather`` of (Q, k) candidates + global merge —
   identical to the doc-sharded merge (tdr/parallel/sharded.py).
 
-Tail-bearing indexes (languages whose head budget does NOT cover the
-vocab) stay on document-axis sharding: their per-term postings are short
-by construction (tail df < head threshold), so the vocab axis is never
-the capacity problem — the head is.  See ARCHITECTURE.md "Sparse tensor
-parallelism" for the measured byte comparison.
+**Hybrid TP for tail-bearing indexes** (round 5 — VERDICT r4 top item):
+at reference vocabulary scale the head budget does NOT cover the vocab
+(stress en: 5,632 head slots over 232k terms, head coverage 2.4% —
+exactly SURVEY §2c's "|V| exceeds one chip's HBM" case, the en
+term_freqs that needed 208 pickle shards,
+/root/reference/final_implementation.py:228).  The hybrid composes:
+
+* the head (the HBM capacity problem — its bytes are the budget) is
+  slot-sharded exactly as above: 1/S of the head per device;
+* the tail CSR is REPLICATED per device — tail df is bounded by the
+  head threshold, so tail postings are a small fraction of the head's
+  bytes (the measured stress-en ratio is recorded in the bench's
+  ``stress_vocab_tp`` section); the replicated copy strips the head
+  rows, so only CSR arrays + stats travel;
+* after ``psum_scatter`` each device owns the fully-summed head scores
+  for its doc slice [me·n_loc, (me+1)·n_loc) — tail postings are
+  compacted ONCE per device (replicated work, no collective) and
+  scatter-added only where their doc falls in that slice, so the tail
+  contribution needs no extra communication at all;
+* queries that overflow the compaction budget fall back to the exact
+  in-range postings scatter inside the same program (rare: the budget
+  floors at 4x the widest tail posting list, mirroring the single-chip
+  engine's guarantee).
 """
 
 from __future__ import annotations
@@ -40,14 +58,20 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tdr.index.build import SparseIndex, _round_up
-from tdr.ops.score import NEG_INF, int8_head_matmul
+from tdr.ops.score import NEG_INF, _tail_compact, int8_head_matmul
 from tdr.ops.topk import fast_topk
 
 
 @jax.tree_util.register_dataclass
 @dataclass
 class VocabShardedIndex:
-    """Full-vocab-head index with the head-slot axis sharded for TP."""
+    """Head-slot-sharded index for TP; hybrid when the index has a tail.
+
+    ``tail_index`` is None for full-vocab-head indexes (pure matmul TP);
+    for tail-bearing indexes it is the original SparseIndex with the head
+    rows stripped to a dummy — the CSR postings, df stats and head_slot
+    travel REPLICATED to every device (small next to the sharded head,
+    which is the capacity problem TP solves)."""
 
     head_rows: jnp.ndarray       # (S, D_loc, N_pad) — slot-axis shards
     head_slot: jnp.ndarray       # (V,) int32, global slot ids (replicated)
@@ -56,24 +80,64 @@ class VocabShardedIndex:
     # AFTER the collective — the per-column factor distributes over the
     # device sum, and the partials travel as exact-integer-valued f32)
     head_scale: "jnp.ndarray | None" = None   # (S, N_pad // S) float32
+    tail_index: "SparseIndex | None" = None   # replicated tail CSR (hybrid)
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_docs_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     vocab_size: int = dataclasses.field(metadata=dict(static=True), default=0)
     d_local: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
 
+    def per_device_bytes(self) -> dict:
+        """Measured per-device HBM layout (not arithmetic): sharded head
+        slice + replicated tail arrays."""
+        head = int(np.prod(self.head_rows.shape[1:])
+                   * self.head_rows.dtype.itemsize)
+        if self.head_scale is not None:
+            head += int(np.prod(self.head_scale.shape[1:]) * 4)
+        tail = 0
+        if self.tail_index is not None:
+            tail = int(sum(
+                np.prod(x.shape) * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(self.tail_index)))
+        repl = int(self.head_slot.shape[0] * 4)
+        return {"head_shard_bytes": head, "replicated_tail_bytes": tail,
+                "replicated_slot_bytes": repl,
+                "total_per_device_bytes": head + tail + repl}
+
+
+def vocab_shard_layout(index: SparseIndex, n_shards: int) -> dict:
+    """Per-device byte layout of ``vocab_shard_index(index, n_shards)``
+    WITHOUT materializing the shards — the same shape arithmetic the
+    sharder applies, for capacity planning at shard counts the current
+    host cannot hold (bench ``stress_vocab_tp`` tp8 sizing)."""
+    D, N = index.head_rows.shape
+    d_loc = _round_up(-(-D // n_shards), 8)
+    n_pad = _round_up(-(-N // n_shards), 128) * n_shards
+    head = d_loc * n_pad * index.head_rows.dtype.itemsize
+    if index.head_scale is not None:
+        head += (n_pad // n_shards) * 4
+    tail = 0
+    if index.head_size < index.vocab_size:
+        nnz = int(index.postings_doc.shape[0])
+        V = int(index.head_slot.shape[0])
+        # indptr + postings_doc (i32) + postings_w (f32) + df (f32)
+        # + the head_slot copy embedded in the tail pytree
+        tail = (V + 1) * 4 + nnz * 8 + V * 4 + V * 4
+    repl = int(index.head_slot.shape[0]) * 4
+    return {"n_shards": n_shards, "head_shard_bytes": int(head),
+            "replicated_tail_bytes": int(tail),
+            "replicated_slot_bytes": repl,
+            "total_per_device_bytes": int(head + tail + repl)}
+
 
 def vocab_shard_index(index: SparseIndex, n_shards: int) -> VocabShardedIndex:
-    """Split a full-vocab-head SparseIndex along the head-slot axis.
+    """Split a SparseIndex along the head-slot axis for TP.
 
-    Requires an empty tail (``head_size >= vocab_size``) — the production
-    configuration for the dominant language; pads D and N to multiples of
-    the shard count (padded slots score 0, padded docs are masked)."""
-    if index.head_size < index.vocab_size:
-        raise ValueError(
-            "vocab TP shards the full-vocab head engine; this index has a "
-            "tail (head_size < vocab_size) — use document sharding "
-            "(tdr.parallel.sharded) instead")
+    Full-vocab-head indexes shard into a pure-matmul TP engine; indexes
+    with a tail (``head_size < vocab_size`` — the reference-scale en
+    regime) get the HYBRID layout: sharded head + replicated tail CSR
+    (see module docstring).  Pads D and N to multiples of the shard count
+    (padded slots score 0, padded docs are masked)."""
     D, N = index.head_rows.shape
     d_loc = _round_up(-(-D // n_shards), 8)
     n_pad = _round_up(-(-N // n_shards), 128) * n_shards
@@ -83,11 +147,26 @@ def vocab_shard_index(index: SparseIndex, n_shards: int) -> VocabShardedIndex:
         rows = jnp.pad(rows, ((0, d_loc * n_shards - D), (0, n_pad - N)))
         if scale is not None:
             scale = jnp.pad(scale, (0, n_pad - N))
+    tail_index = None
+    if index.head_size < index.vocab_size:
+        # strip everything the tail scorer does not read (the head travels
+        # sharded above; postings_tf/doc_len/idf serve PRF and rebuild
+        # paths, not _tail_compact) — the replicated copy is indptr +
+        # postings_doc/w + df + head_slot only.  head_slot stays inside so
+        # _tail_compact can identify tail terms.
+        dummy = jnp.zeros((1,), jnp.float32)
+        tail_index = dataclasses.replace(
+            index, head_rows=jnp.zeros((1, 1), index.head_rows.dtype),
+            head_scale=None,
+            postings_tf=dummy,
+            stats=dataclasses.replace(index.stats, doc_len=dummy,
+                                      idf=dummy))
     return VocabShardedIndex(
         head_rows=rows.reshape(n_shards, d_loc, n_pad),
         head_slot=index.head_slot,
         head_scale=(None if scale is None
                     else scale.reshape(n_shards, n_pad // n_shards)),
+        tail_index=tail_index,
         n_docs=index.n_docs,
         n_docs_pad=n_pad,
         vocab_size=index.vocab_size,
@@ -96,7 +175,7 @@ def vocab_shard_index(index: SparseIndex, n_shards: int) -> VocabShardedIndex:
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "top_k", "axis"))
+@partial(jax.jit, static_argnames=("mesh", "top_k", "axis", "tail_budget"))
 def vocab_tp_score_topk(
     mesh: Mesh,
     vindex: VocabShardedIndex,
@@ -104,11 +183,13 @@ def vocab_tp_score_topk(
     qw: jnp.ndarray,
     top_k: int = 10,
     axis: str = "model",
+    tail_budget: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score replicated queries against the vocab-sharded head.
 
     Per device: partial matmul over its slot range → ``psum_scatter``
-    (doc axis) → masked local top-k → ``all_gather`` + global merge.
+    (doc axis) → [hybrid: in-range tail scatter-add] → masked local
+    top-k → ``all_gather`` + global merge.
     Returns (vals (Q, k), doc rows (Q, k)), replicated.
     """
     S = vindex.n_shards
@@ -118,11 +199,12 @@ def vocab_tp_score_topk(
     Q, T = qids.shape
     k_local = min(top_k, n_loc)
 
-    def local_fn(head_pack, head_slot, qids, qw):
+    def local_fn(head_pack, head_slot, tail_index, qids, qw):
         rows, hs = head_pack
         rows = rows[0]                                     # (d_loc, N)
         me = jax.lax.axis_index(axis)
-        slot = head_slot[jnp.clip(qids, 0, vindex.vocab_size - 1)]
+        qids_c = jnp.clip(qids, 0, vindex.vocab_size - 1)
+        slot = head_slot[qids_c]
         local_slot = slot - me * d_loc
         active = (slot >= 0) & (qw > 0) & (local_slot >= 0) & (local_slot < d_loc)
         q_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0)
@@ -146,6 +228,48 @@ def vocab_tp_score_topk(
                                       tiled=True)          # (Q, n_loc)
         if hs is not None:
             scores = scores * hs[0][None, :]
+        if tail_index is not None:
+            # HYBRID: tail contributions for THIS device's doc slice.  The
+            # compaction is replicated work (cheap sorts over the term
+            # table); the scatter keeps only in-range postings, so the
+            # tail needs no collective of its own.  Tail values are exact
+            # f32 added after dequantization — same semantics as the
+            # single-chip fused engine.
+            budget = min(max(tail_budget, 4 * tail_index.tail_pmax),
+                         16 * tail_index.tail_pmax)
+            docs, vals, act, overflow = _tail_compact(
+                tail_index, qids_c, qw, budget)
+            dloc_doc = docs - me * n_loc
+            inr = act & (dloc_doc >= 0) & (dloc_doc < n_loc)
+            b_idx = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 0)
+            compacted = scores.at[
+                b_idx.reshape(-1),
+                jnp.where(inr, dloc_doc, 0).reshape(-1),
+            ].add(jnp.where(inr, vals, 0.0).reshape(-1))
+
+            def exact_tail(scores):
+                # rare overflow fallback: scatter the RAW in-range postings
+                # (the single-chip engine's exact-scatter twin, restricted
+                # to this device's slice) for the whole batch
+                Pw = tail_index.tail_pmax
+                t_slot = tail_index.head_slot[qids_c]
+                df = tail_index.stats.df[qids_c].astype(jnp.int32)
+                start = tail_index.indptr[qids_c]
+                is_tail = (t_slot < 0) & (qw > 0)
+                offs = jax.lax.broadcasted_iota(jnp.int32, (Q, T, Pw), 2)
+                pos = start[..., None] + offs
+                mask = (offs < df[..., None]) & is_tail[..., None]
+                pos_c = jnp.clip(pos, 0, tail_index.postings_doc.shape[0] - 1)
+                d_all = tail_index.postings_doc[pos_c] - me * n_loc
+                v_all = tail_index.postings_w[pos_c] * qw[..., None]
+                ok = mask & (d_all >= 0) & (d_all < n_loc)
+                qq = jax.lax.broadcasted_iota(jnp.int32, (Q, T, Pw), 0)
+                return scores.at[
+                    qq.reshape(-1), jnp.where(ok, d_all, 0).reshape(-1)
+                ].add(jnp.where(ok, v_all, 0.0).reshape(-1))
+
+            scores = jax.lax.cond(jnp.any(overflow), exact_tail,
+                                  lambda s: compacted, scores)
         # mask padded/invalid docs in GLOBAL coordinates
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_loc), 1) + me * n_loc
         scores = jnp.where(col < vindex.n_docs, scores, NEG_INF)
@@ -157,10 +281,11 @@ def vocab_tp_score_topk(
 
     vals_g, rows_g = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P()),
+        in_specs=(P(axis), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )((vindex.head_rows, vindex.head_scale), vindex.head_slot, qids, qw)
+    )((vindex.head_rows, vindex.head_scale), vindex.head_slot,
+      vindex.tail_index, qids, qw)
 
     vals_m = jnp.transpose(vals_g, (1, 0, 2)).reshape(Q, S * k_local)
     rows_m = jnp.transpose(rows_g, (1, 0, 2)).reshape(Q, S * k_local)

@@ -74,9 +74,13 @@ def test_vocab_tp_deterministic(world):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
-def test_tail_index_refused():
-    corpus, _ = synthetic_corpus(
-        SyntheticSpec(n_docs=200, n_queries=4, seed=3, ref_proportions=False,
+@pytest.fixture(scope="module")
+def tail_world():
+    """Tail-bearing index (tiny head budget) — the reference-scale en
+    regime the HYBRID vocab-TP engine exists for (VERDICT r4 missing #3:
+    the stress en index has head coverage 2.4%)."""
+    corpus, queries = synthetic_corpus(
+        SyntheticSpec(n_docs=300, n_queries=24, seed=3, ref_proportions=False,
                       langs=("en",)))
     toks = preprocess_texts(corpus.texts, corpus.langs)
     vocab = build_vocab(toks)
@@ -84,9 +88,98 @@ def test_tail_index_refused():
     tiny = IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64,
                        head_budget_bytes=1 << 12)   # head cannot cover vocab
     index = build_index(*coo, vocab.size, index_cfg=tiny)
-    assert index.head_size < index.vocab_size
-    with pytest.raises(ValueError):
-        vocab_shard_index(index, 4)
+    assert 0 < index.head_size < index.vocab_size
+    qtoks = preprocess_texts(queries.queries, queries.langs)
+    qids, qw = encode_queries(qtoks, vocab, max_terms=16)
+    return index, jnp.asarray(qids), jnp.asarray(qw)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_hybrid_tp_matches_single_device(tail_world, n_shards):
+    index, qids, qw = tail_world
+    vindex = vocab_shard_index(index, n_shards)
+    assert vindex.tail_index is not None
+    # the replicated tail must NOT carry the head rows (that would undo
+    # the capacity win the sharding exists for)
+    assert vindex.tail_index.head_rows.size == 1
+    # capacity invariant: each device holds ~1/S of the slot axis (floored
+    # at 8 rows — at production D the shard is 1/S of the head bytes)
+    D = index.head_rows.shape[0]
+    assert vindex.d_local <= max(8, -(-D // n_shards) + 8)
+    assert vindex.per_device_bytes()["head_shard_bytes"] > 0
+
+    mesh = make_mesh(data=1, model=n_shards)
+    vals_1, rows_1 = score_and_topk(index, qids, qw, top_k=10)
+    vals_t, rows_t = vocab_tp_score_topk(mesh, vindex, qids, qw, top_k=10)
+
+    np.testing.assert_allclose(np.asarray(vals_t), np.asarray(vals_1),
+                               rtol=1e-5, atol=1e-5)
+    v1 = np.asarray(vals_1)
+    margin_ok = np.abs(v1 - np.roll(v1, -1, axis=1)) > 1e-4
+    same = (np.asarray(rows_t) == np.asarray(rows_1)) | ~np.isfinite(v1)
+    assert (same | ~margin_ok)[:, :-1].all()
+
+
+def test_layout_matches_materialized(tail_world):
+    """vocab_shard_layout's arithmetic must equal the ACTUAL byte layout of
+    a materialized shard set (it exists so the bench can size shard counts
+    the host can't hold — drift would make those numbers fiction)."""
+    from tdr.parallel.vocab_tp import vocab_shard_layout
+
+    index, _, _ = tail_world
+    for s in (2, 4):
+        vindex = vocab_shard_index(index, s)
+        got = vindex.per_device_bytes()
+        want = vocab_shard_layout(index, s)
+        assert got["head_shard_bytes"] == want["head_shard_bytes"]
+        # materialized tail carries the stripped dummy leaves (a few bytes)
+        assert abs(got["replicated_tail_bytes"]
+                   - want["replicated_tail_bytes"]) < 64
+
+
+def test_hybrid_tp_deterministic(tail_world):
+    index, qids, qw = tail_world
+    vindex = vocab_shard_index(index, 4)
+    mesh = make_mesh(data=1, model=4)
+    v1, r1 = vocab_tp_score_topk(mesh, vindex, qids, qw, top_k=10)
+    v2, r2 = vocab_tp_score_topk(mesh, vindex, qids, qw, top_k=10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_hybrid_tp_int8(tail_world):
+    """int8 head + hybrid tail: quantized partials dequantize after the
+    collective; the tail adds exact f32 — matches the single-chip int8
+    engine's top-10 docs wherever the margin beats quantization noise."""
+    from tdr.index import quantize_head
+
+    index, qids, qw = tail_world
+    index8 = quantize_head(index)
+    vindex = vocab_shard_index(index8, 4)
+    mesh = make_mesh(data=1, model=4)
+    vals_1, rows_1 = score_and_topk(index8, qids, qw, top_k=10)
+    vals_t, rows_t = vocab_tp_score_topk(mesh, vindex, qids, qw, top_k=10)
+    np.testing.assert_allclose(np.asarray(vals_t), np.asarray(vals_1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_tp_overflow_fallback(tail_world):
+    """A query with more tail terms than the compaction caps trips the
+    exact in-range postings scatter; results must still match the exact
+    single-chip engine."""
+    index, _, _ = tail_world
+    # 16+ distinct tail terms in one query overflows max_tail_terms
+    tail_terms = np.where(np.asarray(index.head_slot) < 0)[0]
+    tail_terms = tail_terms[np.asarray(index.stats.df)[tail_terms] > 0][:24]
+    assert tail_terms.size >= 20
+    qids = jnp.asarray(tail_terms[None, :].astype(np.int32))
+    qw = jnp.ones((1, tail_terms.size), jnp.float32)
+    vindex = vocab_shard_index(index, 4)
+    mesh = make_mesh(data=1, model=4)
+    vals_1, rows_1 = score_and_topk(index, qids, qw, top_k=10)
+    vals_t, rows_t = vocab_tp_score_topk(mesh, vindex, qids, qw, top_k=10)
+    np.testing.assert_allclose(np.asarray(vals_t), np.asarray(vals_1),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_router_mixes_vocab_tp_model():
