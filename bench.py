@@ -670,11 +670,13 @@ def _latency_bench(router, queries, n: int = 30) -> dict:
     samples.sort()
     p50 = samples[len(samples) // 2]
 
-    # Q=1 kernel share (VERDICT r3 #6 decomposition): with the small-batch
-    # compile buckets a single query rides a Q=1 pass whose dominant cost
-    # is the Q-independent head read — physics, not framework.  Time it
-    # pipelined on the largest partition so
-    # p50 − floor − kernel  isolates the ACTUAL framework overhead
+    # Q=1 kernel share (VERDICT r3 #6 decomposition, r4 #5 fix): the
+    # serving path now routes small batches to the per-term ROW-GATHER
+    # head engine (SparseModel.small_q_threshold) — a single query reads
+    # ~6 head rows instead of the whole (D, N) matrix.  Time BOTH engines
+    # pipelined on the largest partition: kernel_q1_ms is what serving
+    # pays (gather), kernel_q1_matmul_ms is the r4 baseline it replaced;
+    # p50 − floor − kernel isolates the ACTUAL framework overhead
     # (tokenize + encode + pack + result decode).
     from tdr.ops.score import score_and_topk_fused
 
@@ -689,14 +691,20 @@ def _latency_bench(router, queries, n: int = 30) -> dict:
         qids = jnp.asarray(rng.randint(0, index.vocab_size, (1, T)), jnp.int32)
         qw = jnp.zeros((1, T), jnp.float32).at[:, :6].set(1.0)
         kb.append((qids, qw))
-    kfn = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
-                                         tail_budget=model.tail_budget,
-                                         tail_engine=engine)
-    jax.block_until_ready(kfn(kb[-1]))
-    t0 = time.perf_counter()
-    outs = [kfn(b) for b in kb[:32]]
-    jax.block_until_ready(outs)
-    kernel_q1 = (time.perf_counter() - t0) / 32
+
+    def _time_q1(head_engine):
+        kfn = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
+                                             tail_budget=model.tail_budget,
+                                             tail_engine=engine,
+                                             head_engine=head_engine)
+        jax.block_until_ready(kfn(kb[-1]))
+        t0 = time.perf_counter()
+        outs = [kfn(b) for b in kb[:32]]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / 32
+
+    kernel_q1 = _time_q1("gather")     # what serving actually runs
+    kernel_q1_mm = _time_q1("matmul")  # the r4 full-head baseline
 
     return {
         "single_query_p50_ms": round(p50 * 1e3, 1),
@@ -704,6 +712,7 @@ def _latency_bench(router, queries, n: int = 30) -> dict:
         "backend_floor_p50_ms": round(floor_p50 * 1e3, 1),
         "framework_overhead_p50_ms": round((p50 - floor_p50) * 1e3, 1),
         "kernel_q1_ms": round(kernel_q1 * 1e3, 2),
+        "kernel_q1_matmul_ms": round(kernel_q1_mm * 1e3, 2),
         "framework_minus_kernel_p50_ms": round(
             (p50 - floor_p50 - kernel_q1) * 1e3, 1),
         "latency_samples": len(samples),

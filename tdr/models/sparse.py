@@ -46,6 +46,13 @@ class SparseModel:
     # trade for the sparse engine; tail contributions and the merge stay
     # exact either way).  Keep "exact" when results must be bit-stable.
     topk_mode: str = "exact"
+    # batches of at most this many queries score the head with the
+    # per-term ROW-GATHER engine instead of the full-head matmul: a Q=1
+    # request reads ~6 head rows (a few MB) instead of the whole (D, N)
+    # matrix (GBs) — measured 5.7 -> ~0.6 ms on the production en shape.
+    # Composes with the router's Q∈{1,8} compile buckets, which make the
+    # engine choice a stable compile key.  0 disables (always matmul).
+    small_q_threshold: int = 8
     # host-side OOV query-term repair by trigram vocabulary matching
     # (tdr.text.spell) — lifts typo'd-query recall; off by default so the
     # default pipeline matches the reference's drop-unknown-terms behavior
@@ -130,10 +137,14 @@ class SparseModel:
 
     def _score_encoded(self, qids, qw, k: int):
         if self.use_fused_topk:
+            head_engine = ("gather"
+                           if 0 < qids.shape[0] <= self.small_q_threshold
+                           else "matmul")
             return score_and_topk_fused(self.index, qids, qw, top_k=k,
                                         tail_budget=self.tail_budget,
                                         tail_engine=self._resolved_tail_engine(),
-                                        topk_mode=self.topk_mode)
+                                        topk_mode=self.topk_mode,
+                                        head_engine=head_engine)
         return score_and_topk(self.index, qids, qw, top_k=k)
 
     def _doc_major(self):

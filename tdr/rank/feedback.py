@@ -120,40 +120,27 @@ def build_doc_major(index: SparseIndex, pad_multiple: int = 64) -> DocMajorIndex
                          doc_start=jnp.asarray(doc_start), p_doc=p_doc)
 
 
-@partial(jax.jit, static_argnames=("n_expand", "n_feedback", "min_docs"))
-def prf_expand(
+@partial(jax.jit, static_argnames=("n_expand", "min_docs"))
+def prf_mine(
     dmi: DocMajorIndex,
     vocab_size: int,
-    qids: jnp.ndarray,          # (Q, T) int32
+    qids: jnp.ndarray,          # (Q, T) int32 — THIS segment's encoding
     qw: jnp.ndarray,            # (Q, T) float32
-    fb_vals: jnp.ndarray,       # (Q, >=F) first-pass scores (desc)
-    fb_rows: jnp.ndarray,       # (Q, >=F) first-pass doc rows
+    w_d: jnp.ndarray,           # (Q, F) relevance-model doc weights
+    rows_f: jnp.ndarray,        # (Q, F) doc rows INTO THIS segment
+    finite: jnp.ndarray,        # (Q, F) bool — rows valid in this segment
     n_expand: int = DEFAULT_EXPAND_TERMS,
-    n_feedback: int = DEFAULT_FEEDBACK_DOCS,
-    beta: float = DEFAULT_BETA,
     min_docs: int = DEFAULT_MIN_DOCS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """RM3 expansion: returns (qids2 (Q, T+E), qw2 (Q, T+E)).
-
-    Expansion weights are ``beta * w/max(w) * max(qw)`` — scaled into the
-    CALLER's query-weight regime, so idf-weighted cosine queries (whose
-    original weights sit at idf scale, 5-15) get expansion terms that
-    actually participate rather than beta-sized no-ops.  Expansion terms
-    are often tail terms; heavily-expanded long queries can cross the
-    engine's max-tail-terms compaction level and take its exact fallback —
-    the gentle default E keeps that rare (measured warm 2-pass cost 1.6x
-    a single pass at reference scale)."""
+    """Mining core: top-``n_expand`` (term id, RAW pooled total) per query
+    from one doc-major mirror.  ``w_d`` comes from the caller so a
+    SEGMENTED store can normalize doc weights over the GLOBAL feedback set
+    and pool raw totals across segments at the term-string level
+    (tdr.rank.segmented) — invalid slots carry total=-inf."""
     Q, T = qids.shape
-    F, E, P = n_feedback, n_expand, dmi.p_doc
-
-    vals_f = fb_vals[:, :F]
-    rows_f = fb_rows[:, :F]
-    finite = jnp.isfinite(vals_f) & (vals_f > 0)
+    F = w_d.shape[1]
+    E, P = n_expand, dmi.p_doc
     rows_f = jnp.where(finite, rows_f, 0)
-    # relevance-model doc weights: scores normalized over the feedback set
-    # (BM25/tf-idf scores are >= 0)
-    sv = jnp.where(finite, vals_f, 0.0)
-    w_d = sv / jnp.maximum(jnp.sum(sv, axis=1, keepdims=True), 1e-9)
 
     # gather each feedback doc's (term, weight) segment at static width P
     start = dmi.doc_start[rows_f]                            # (Q, F)
@@ -200,14 +187,60 @@ def prf_expand(
 
     ew, esel = jax.lax.top_k(cand, E)                        # (Q, E)
     eterm = jnp.take_along_axis(t_s, esel, axis=1)
+    return eterm, ew
+
+
+def relevance_doc_weights(fb_vals: jnp.ndarray, n_feedback: int):
+    """(w_d (Q, F), finite (Q, F), rows-slice helper): relevance-model doc
+    weights — first-pass scores normalized over the feedback set (BM25 /
+    tf-idf scores are >= 0).  Shared by the model-level and segmented PRF
+    paths so the normalization cannot drift between them."""
+    vals_f = fb_vals[:, :n_feedback]
+    finite = jnp.isfinite(vals_f) & (vals_f > 0)
+    sv = jnp.where(finite, vals_f, 0.0)
+    w_d = sv / jnp.maximum(jnp.sum(sv, axis=1, keepdims=True), 1e-9)
+    return w_d, finite
+
+
+def scale_expansion(ew, qw, beta: float):
+    """RM3 interpolation: ``beta * total/max(total) * max(qw)`` — scaled
+    into the caller's query-weight regime, so idf-weighted cosine queries
+    (original weights at idf scale, 5-15) get expansion terms that
+    actually participate rather than beta-sized no-ops.  -inf (invalid)
+    slots come back weight 0."""
     ok = jnp.isfinite(ew)
     norm = jnp.maximum(jnp.max(jnp.where(ok, ew, 0.0), axis=1, keepdims=True),
                        1e-9)
-    # scale into the caller's query-weight regime (unit BM25 weights ~1;
-    # idf cosine weights 5-15)
     qscale = jnp.maximum(jnp.max(qw, axis=1, keepdims=True), 1e-9)
-    e_w = jnp.where(ok, beta * (ew / norm) * qscale, 0.0)
-    e_t = jnp.where(ok, eterm, 0)
+    return ok, jnp.where(ok, beta * (ew / norm) * qscale, 0.0)
 
+
+@partial(jax.jit, static_argnames=("n_expand", "n_feedback", "min_docs"))
+def prf_expand(
+    dmi: DocMajorIndex,
+    vocab_size: int,
+    qids: jnp.ndarray,          # (Q, T) int32
+    qw: jnp.ndarray,            # (Q, T) float32
+    fb_vals: jnp.ndarray,       # (Q, >=F) first-pass scores (desc)
+    fb_rows: jnp.ndarray,       # (Q, >=F) first-pass doc rows
+    n_expand: int = DEFAULT_EXPAND_TERMS,
+    n_feedback: int = DEFAULT_FEEDBACK_DOCS,
+    beta: float = DEFAULT_BETA,
+    min_docs: int = DEFAULT_MIN_DOCS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RM3 expansion: returns (qids2 (Q, T+E), qw2 (Q, T+E)).
+
+    Mining + interpolation in one fused dispatch (see ``prf_mine`` /
+    ``scale_expansion`` for the pieces the segmented store re-composes).
+    Expansion terms are often tail terms; heavily-expanded long queries
+    can cross the engine's max-tail-terms compaction level and take its
+    exact fallback — the gentle default E keeps that rare (measured warm
+    2-pass cost 1.6x a single pass at reference scale)."""
+    w_d, finite = relevance_doc_weights(fb_vals, n_feedback)
+    eterm, ew = prf_mine(dmi, vocab_size, qids, qw, w_d,
+                         fb_rows[:, :n_feedback], finite,
+                         n_expand=n_expand, min_docs=min_docs)
+    ok, e_w = scale_expansion(ew, qw, beta)
+    e_t = jnp.where(ok, eterm, 0)
     return (jnp.concatenate([qids, e_t], axis=1),
             jnp.concatenate([qw, e_w.astype(qw.dtype)], axis=1))

@@ -74,6 +74,15 @@ class SegmentedBM25:
     # queries whose post-tombstone top-k may have lost live docs past the
     # candidate margin (see topk_tokens) — a nonzero count says compact
     truncated_queries: int = 0
+    # query batching (round 5): the segmented pass used to dispatch ONE
+    # monolithic batch at whatever size the caller sent — every distinct
+    # caller batch size compiled a fresh main-engine shape (30-190 s each
+    # on the remote compiler) and measured ~10x the main engine's pass at
+    # bench load.  Chunks now ride the SAME compile shapes as the router
+    # (query_batch + small-Q buckets), and all chunks of both segments
+    # come back in one packed pull.
+    query_batch: int = 256
+    query_buckets: tuple = (1, 8)
 
     def _positions(self) -> dict:
         if self._pos is None:
@@ -221,6 +230,14 @@ class SegmentedBM25:
     def n_docs(self) -> int:
         return len(self.docids) - len(self._dead_rows)
 
+    def _pad_target(self, n: int) -> int:
+        """Smallest compile bucket that fits ``n``, else the full batch —
+        the router's policy, so segment chunks reuse its compiled shapes."""
+        for b in sorted(self.query_buckets):
+            if n <= b < self.query_batch:
+                return b
+        return self.query_batch
+
     def topk_tokens(self, token_lists: Sequence[Sequence[str]], k: int = 10,
                     pad_to: Optional[int] = None):
         """Merged (scores (Q,k), rows (Q,k)) over main+delta minus
@@ -253,30 +270,65 @@ class SegmentedBM25:
             k_seg = k + 256
         else:
             k_seg = k + 1024
-        vm, rm, nm = self.main.topk_tokens_async(token_lists, k_seg,
-                                                 pad_to=pad_to)
         from tdr.rank.router import _gather_pending
 
-        if self.delta is not None:
-            vd, rd, _ = self.delta.topk_tokens_async(token_lists, k_seg,
-                                                     pad_to=pad_to)
-            (vm, vd), (rm, rd) = _gather_pending([vm, vd], [rm, rd])
-            vm, rm = vm[:nm], rm[:nm]
-            vals = np.concatenate([vm, vd[:nm]], axis=1)
-            rows = np.concatenate(
-                [rm, rd[:nm] + len(self.main.docids)], axis=1)
-            # PER-SEGMENT saturation: a segment whose k_seg window is all
-            # finite may hold more matching docs past the horizon.  This
-            # must be computed pre-concat — against the combined 2*k_seg
-            # width a single segment can never look saturated, which
-            # silently disabled the truncation warning whenever a delta
-            # existed (round-4 review finding, regression-tested)
-            win_full = (np.isfinite(vm).all(axis=1)
-                        | np.isfinite(vd[:nm]).all(axis=1))
-        else:
-            (vm,), (rm,) = _gather_pending([vm], [rm])
-            vals, rows = vm[:nm], rm[:nm]
-            win_full = np.isfinite(vm).all(axis=1)
+        import jax.numpy as jnp
+
+        # phase 1: dispatch main+delta for every chunk (router-shared
+        # compile shapes); phase 2: ONE packed pull for everything
+        qb = self.query_batch
+        pend = []                                   # (n, has_delta) per chunk
+        vs, rs = [], []
+        for s in range(0, max(len(token_lists), 1), qb):
+            ch = list(token_lists[s:s + qb])
+            if not ch:
+                break
+            pad = pad_to if pad_to is not None else self._pad_target(len(ch))
+            vm, rm, nm = self.main.topk_tokens_async(ch, k_seg, pad_to=pad)
+            vs.append(vm)
+            rs.append(rm)
+            if self.delta is not None:
+                vd, rd, _ = self.delta.topk_tokens_async(ch, k_seg,
+                                                         pad_to=pad)
+                vs.append(vd)
+                rs.append(rd)
+            pend.append(nm)
+        if not vs:
+            return (np.zeros((0, k), np.float32), np.zeros((0, k), np.int64))
+        # uniform shapes for the packed pull: pad smaller chunks on device
+        b_max = max(v.shape[0] for v in vs)
+        for i, (v, r) in enumerate(zip(vs, rs)):
+            if v.shape[0] < b_max:
+                vs[i] = jnp.pad(v, ((0, b_max - v.shape[0]), (0, 0)),
+                                constant_values=-jnp.inf)
+                rs[i] = jnp.pad(r, ((0, b_max - r.shape[0]), (0, 0)))
+        av, ar = _gather_pending(vs, rs)
+        vals_p, rows_p, win_p = [], [], []
+        i = 0
+        for nm in pend:
+            vm, rm = av[i][:nm], ar[i][:nm]
+            i += 1
+            if self.delta is not None:
+                vd, rd = av[i][:nm], ar[i][:nm]
+                i += 1
+                vals_p.append(np.concatenate([vm, vd], axis=1))
+                rows_p.append(np.concatenate(
+                    [rm, rd + len(self.main.docids)], axis=1))
+                # PER-SEGMENT saturation: a segment whose k_seg window is
+                # all finite may hold more matching docs past the horizon.
+                # Computed pre-concat — against the combined 2*k_seg width
+                # a single segment can never look saturated, which silently
+                # disabled the truncation warning whenever a delta existed
+                # (round-4 review finding, regression-tested)
+                win_p.append(np.isfinite(vm).all(axis=1)
+                             | np.isfinite(vd).all(axis=1))
+            else:
+                vals_p.append(vm)
+                rows_p.append(rm)
+                win_p.append(np.isfinite(vm).all(axis=1))
+        vals = np.concatenate(vals_p, axis=0)
+        rows = np.concatenate(rows_p, axis=0)
+        win_full = np.concatenate(win_p, axis=0)
         # host merge: k is tiny
         order = np.argsort(-vals, axis=1, kind="stable")
         vals = np.take_along_axis(vals, order, axis=1)
