@@ -193,13 +193,14 @@ def _cmd_serve(args) -> int:
     if not getattr(args, "mutable", False):
         models = _apply_spell(load_registry(args.index), args)
     else:
-        if getattr(args, "prf", False):
-            log.error("--prf is read-only-serving only: expanding the main "
-                      "segment's queries but not the delta's would break "
-                      "cross-segment score comparability (delta docs would "
-                      "be systematically under-ranked)")
-            return 2
         models = _load_mutable_models(args, log)
+        if getattr(args, "prf", False):
+            # store-orchestrated PRF (tdr.rank.segmented): feedback is
+            # mined globally across main+delta and the pooled expansion is
+            # re-encoded into each segment's vocab, so cross-segment score
+            # comparability holds (the old model-level refusal)
+            for m in models.values():
+                m.prf = True
     router = LanguageRouter(models, query_batch=args.batch)
     # warm EVERY compile bucket for EVERY language before accepting
     # traffic (a first request routed to a cold language/shape would
@@ -832,10 +833,10 @@ def main(argv=None) -> int:
                          "vocabulary matching (tdr.text.spell) before scoring")
     sv.add_argument("--prf", action="store_true",
                     help="RM3 pseudo-relevance feedback (tdr.rank.feedback); "
-                         "read-only serving only — with --mutable it is "
-                         "refused (expanding the main segment's queries but "
-                         "not the delta's would break cross-segment score "
-                         "comparability)")
+                         "with --mutable the segmented store orchestrates it "
+                         "globally (feedback merged across main+delta, "
+                         "pooled expansion re-encoded per segment — "
+                         "tdr.rank.segmented)")
     sv.add_argument("--state-dir", default=None, dest="state_dir",
                     help="with --mutable: restore segmented state from this "
                          "directory on startup (if it exists) and save it "

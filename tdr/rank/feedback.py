@@ -120,7 +120,8 @@ def build_doc_major(index: SparseIndex, pad_multiple: int = 64) -> DocMajorIndex
                          doc_start=jnp.asarray(doc_start), p_doc=p_doc)
 
 
-@partial(jax.jit, static_argnames=("n_expand", "min_docs"))
+@partial(jax.jit, static_argnames=("n_expand", "min_docs",
+                                   "count_rank_clamp"))
 def prf_mine(
     dmi: DocMajorIndex,
     vocab_size: int,
@@ -131,12 +132,27 @@ def prf_mine(
     finite: jnp.ndarray,        # (Q, F) bool — rows valid in this segment
     n_expand: int = DEFAULT_EXPAND_TERMS,
     min_docs: int = DEFAULT_MIN_DOCS,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Mining core: top-``n_expand`` (term id, RAW pooled total) per query
-    from one doc-major mirror.  ``w_d`` comes from the caller so a
-    SEGMENTED store can normalize doc weights over the GLOBAL feedback set
-    and pool raw totals across segments at the term-string level
-    (tdr.rank.segmented) — invalid slots carry total=-inf."""
+    count_rank_clamp: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mining core: top-``n_expand`` (term id, RAW pooled total, feedback-
+    doc count) per query from one doc-major mirror.  ``w_d`` comes from the
+    caller so a SEGMENTED store can normalize doc weights over the GLOBAL
+    feedback set and pool raw totals across segments at the term-string
+    level (tdr.rank.segmented, which passes min_docs=1 here and applies the
+    co-occurrence gate on the SUMMED counts) — invalid slots carry
+    total=-inf.
+
+    ``count_rank_clamp`` ranks candidates by (min(count, clamp), total)
+    lexicographically instead of total alone.  The segmented store needs
+    it: one high-weight feedback doc's PRIVATE terms carry the largest raw
+    totals, so a pure-total top-E window fills with count-1 terms and
+    truncates away exactly the co-occurring terms the min_docs gate is
+    meant to keep (measured: 4 of 5 model-path expansion terms lost at
+    E_mine=10).  With clamp=min_docs, every within-segment count>=min_docs
+    term outranks every count-1 term while ties inside a class still order
+    by total — the model path's selection is a prefix of the window, and
+    cross-segment 1+1 co-occurrences remain minable behind it.  The
+    default clamp=1 reproduces the pure-total ranking."""
     Q, T = qids.shape
     F = w_d.shape[1]
     E, P = n_expand, dmi.p_doc
@@ -185,9 +201,20 @@ def prf_mine(
                      & (run_len >= min_docs),
                      total, -jnp.inf)
 
-    ew, esel = jax.lax.top_k(cand, E)                        # (Q, E)
-    eterm = jnp.take_along_axis(t_s, esel, axis=1)
-    return eterm, ew
+    if count_rank_clamp <= 1:
+        ew, esel = jax.lax.top_k(cand, E)                    # (Q, E)
+        eterm = jnp.take_along_axis(t_s, esel, axis=1)
+        ecount = jnp.take_along_axis(run_len, esel, axis=1)  # valid: is_last
+        return eterm, ew, ecount
+    # (count-class, total) descending two-key sort; invalid slots sink
+    cclass = jnp.where(jnp.isfinite(cand),
+                       -jnp.minimum(run_len, count_rank_clamp).astype(
+                           jnp.float32),
+                       jnp.inf)
+    neg_total = jnp.where(jnp.isfinite(cand), -cand, jnp.inf)
+    _, nt_s, t_sel, rl_sel = jax.lax.sort(
+        (cclass, neg_total, t_s, run_len), num_keys=2)
+    return t_sel[:, :E], -nt_s[:, :E], rl_sel[:, :E]
 
 
 def relevance_doc_weights(fb_vals: jnp.ndarray, n_feedback: int):
@@ -237,9 +264,9 @@ def prf_expand(
     exact fallback — the gentle default E keeps that rare (measured warm
     2-pass cost 1.6x a single pass at reference scale)."""
     w_d, finite = relevance_doc_weights(fb_vals, n_feedback)
-    eterm, ew = prf_mine(dmi, vocab_size, qids, qw, w_d,
-                         fb_rows[:, :n_feedback], finite,
-                         n_expand=n_expand, min_docs=min_docs)
+    eterm, ew, _ = prf_mine(dmi, vocab_size, qids, qw, w_d,
+                            fb_rows[:, :n_feedback], finite,
+                            n_expand=n_expand, min_docs=min_docs)
     ok, e_w = scale_expansion(ew, qw, beta)
     e_t = jnp.where(ok, eterm, 0)
     return (jnp.concatenate([qids, e_t], axis=1),

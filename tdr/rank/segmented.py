@@ -83,6 +83,28 @@ class SegmentedBM25:
     # come back in one packed pull.
     query_batch: int = 256
     query_buckets: tuple = (1, 8)
+    # store-orchestrated pseudo-relevance feedback (round 5; VERDICT r4
+    # #6).  MODEL-level prf cannot run inside a segmented store (expanding
+    # one segment's pass but not the other's breaks cross-segment score
+    # comparability), so the STORE runs the RM3 loop globally:
+    #   1. first pass over both segments, merged + tombstone-filtered —
+    #      feedback docs are the GLOBAL live top-F;
+    #   2. relevance-model doc weights normalized over that global set,
+    #      `prf_mine` per segment (each mines its own doc-major mirror with
+    #      the global weights), totals and co-occurrence counts pooled at
+    #      the TERM-STRING level on the host;
+    #   3. the pooled top-E terms are re-encoded into EACH segment's vocab
+    #      with ONE shared weight vector (a term absent from a segment's
+    #      vocab scores 0 there exactly as a term no doc contains), so both
+    #      segments score the identical expanded query.
+    # Costs two extra host syncs per retrieve (feedback merge + mined-term
+    # pull) — PRF is inherently sequential; everything inside each phase
+    # stays one packed pull.
+    prf: bool = False
+    prf_docs: int = 3
+    prf_terms: int = 5
+    prf_beta: float = 0.3
+    prf_min_docs: int = 2
 
     def _positions(self) -> dict:
         if self._pos is None:
@@ -238,63 +260,77 @@ class SegmentedBM25:
                 return b
         return self.query_batch
 
-    def topk_tokens(self, token_lists: Sequence[Sequence[str]], k: int = 10,
-                    pad_to: Optional[int] = None):
-        """Merged (scores (Q,k), rows (Q,k)) over main+delta minus
-        tombstones; rows index into `self.docids`.  Both segment passes
-        are dispatched before anything is pulled, and all results come
-        back in ONE packed device→host transfer (`_gather_pending` — each
-        extra sync is a full RPC round trip on tunnel backends)."""
-        # extra candidates cover rows the tombstone filter removes.  The
-        # margin scales with the tombstone count over a SMALL set of
-        # buckets (a per-delete k_seg would recompile the main-segment
-        # kernel on every distinct tombstone count — 30-190 s per shape on
-        # a remote compiler); heavy churn past the largest bucket is
-        # flagged below so callers know to compact (ADVICE r3: a fixed 64
-        # silently dropped live docs under hot-topic delete/re-add churn)
-        if getattr(self.main, "prf", False) or (
-                self.delta is not None and getattr(self.delta, "prf", False)):
-            raise ValueError(
-                "pseudo-relevance feedback cannot run inside a segmented "
-                "store: the main and delta segments encode queries against "
-                "different vocabs, so expanding one segment's pass but not "
-                "the other's breaks cross-segment score comparability "
-                "(freshly added docs would be systematically under-ranked). "
-                "Compact first, or serve read-only with prf.")
+    def _prf_enabled(self) -> bool:
+        # a model-level prf flag on the main segment (the CLI's read-only
+        # plumbing) promotes to store-orchestrated PRF — the store bypasses
+        # the model-level loop by dispatching through _score_encoded
+        return self.prf or bool(getattr(self.main, "prf", False))
+
+    def _prf_params(self):
+        m = self.main
+        if not self.prf and getattr(m, "prf", False):
+            return m.prf_docs, m.prf_terms, m.prf_beta, m.prf_min_docs
+        return self.prf_docs, self.prf_terms, self.prf_beta, self.prf_min_docs
+
+    def _k_seg(self, k: int) -> int:
+        """Candidate width with the tombstone margin.  The margin scales
+        with the tombstone count over a SMALL set of buckets (a per-delete
+        k_seg would recompile the main-segment kernel on every distinct
+        tombstone count — 30-190 s per shape on a remote compiler); heavy
+        churn past the largest bucket is flagged at merge time so callers
+        know to compact (ADVICE r3: a fixed 64 silently dropped live docs
+        under hot-topic delete/re-add churn)."""
         n_dead = len(self._dead_rows)
         if n_dead == 0:
-            k_seg = k
-        elif n_dead <= 48:
-            k_seg = k + 64
-        elif n_dead <= 192:
-            k_seg = k + 256
-        else:
-            k_seg = k + 1024
-        from tdr.rank.router import _gather_pending
+            return k
+        if n_dead <= 48:
+            return k + 64
+        if n_dead <= 192:
+            return k + 256
+        return k + 1024
 
-        import jax.numpy as jnp
-
-        # phase 1: dispatch main+delta for every chunk (router-shared
-        # compile shapes); phase 2: ONE packed pull for everything
+    def _encode_chunks(self, token_lists, pad_to):
+        """Router-shaped chunks, encoded per segment:
+        [(n, (qids, qw) main, (qids, qw) delta | None), ...] — numpy."""
+        encs = []
         qb = self.query_batch
-        pend = []                                   # (n, has_delta) per chunk
-        vs, rs = [], []
         for s in range(0, max(len(token_lists), 1), qb):
             ch = list(token_lists[s:s + qb])
             if not ch:
                 break
             pad = pad_to if pad_to is not None else self._pad_target(len(ch))
-            vm, rm, nm = self.main.topk_tokens_async(ch, k_seg, pad_to=pad)
+            n = len(ch)
+            if n < pad:
+                ch = ch + [[]] * (pad - n)
+            em = self.main.encode_query_tokens_np(ch)
+            ed = (self.delta.encode_query_tokens_np(ch)
+                  if self.delta is not None else None)
+            encs.append((n, em, ed))
+        return encs
+
+    def _dispatch_pull(self, encs, k_seg: int):
+        """Score every chunk on both segments (dispatch everything first)
+        and bring ALL results back in ONE packed device→host transfer
+        (`_gather_pending` — each extra sync is a full RPC round trip on
+        tunnel backends).  Dispatches through `_score_encoded`, so a
+        model-level prf flag never double-expands inside the store.
+        Returns [(n, vm, rm, vd|None, rd|None), ...] numpy."""
+        import jax.numpy as jnp
+
+        from tdr.rank.router import _gather_pending
+
+        vs, rs, pend = [], [], []
+        for n, em, ed in encs:
+            vm, rm = self.main._score_encoded(
+                jnp.asarray(em[0]), jnp.asarray(em[1]), k_seg)
             vs.append(vm)
             rs.append(rm)
-            if self.delta is not None:
-                vd, rd, _ = self.delta.topk_tokens_async(ch, k_seg,
-                                                         pad_to=pad)
+            if ed is not None:
+                vd, rd = self.delta._score_encoded(
+                    jnp.asarray(ed[0]), jnp.asarray(ed[1]), k_seg)
                 vs.append(vd)
                 rs.append(rd)
-            pend.append(nm)
-        if not vs:
-            return (np.zeros((0, k), np.float32), np.zeros((0, k), np.int64))
+            pend.append(n)
         # uniform shapes for the packed pull: pad smaller chunks on device
         b_max = max(v.shape[0] for v in vs)
         for i, (v, r) in enumerate(zip(vs, rs)):
@@ -303,14 +339,24 @@ class SegmentedBM25:
                                 constant_values=-jnp.inf)
                 rs[i] = jnp.pad(r, ((0, b_max - r.shape[0]), (0, 0)))
         av, ar = _gather_pending(vs, rs)
-        vals_p, rows_p, win_p = [], [], []
-        i = 0
-        for nm in pend:
-            vm, rm = av[i][:nm], ar[i][:nm]
+        out, i = [], 0
+        for n in pend:
+            vm, rm = av[i][:n], ar[i][:n]
             i += 1
+            vd = rd = None
             if self.delta is not None:
-                vd, rd = av[i][:nm], ar[i][:nm]
+                vd, rd = av[i][:n], ar[i][:n]
                 i += 1
+            out.append((n, vm, rm, vd, rd))
+        return out
+
+    def _merge_pulled(self, pulled, k: int, k_seg: int,
+                      count_truncation: bool = True):
+        """Host merge of per-chunk segment results: global rows, tombstone
+        filter, truncation accounting.  k is tiny — numpy sorts suffice."""
+        vals_p, rows_p, win_p = [], [], []
+        for n, vm, rm, vd, rd in pulled:
+            if vd is not None:
                 vals_p.append(np.concatenate([vm, vd], axis=1))
                 rows_p.append(np.concatenate(
                     [rm, rd + len(self.main.docids)], axis=1))
@@ -329,7 +375,6 @@ class SegmentedBM25:
         vals = np.concatenate(vals_p, axis=0)
         rows = np.concatenate(rows_p, axis=0)
         win_full = np.concatenate(win_p, axis=0)
-        # host merge: k is tiny
         order = np.argsort(-vals, axis=1, kind="stable")
         vals = np.take_along_axis(vals, order, axis=1)
         rows = np.take_along_axis(rows, order, axis=1)
@@ -346,7 +391,7 @@ class SegmentedBM25:
             truncated = int((dead.any(axis=1)
                              & (live < min(k, max(self.n_docs, 1)))
                              & win_full).sum())
-            if truncated:
+            if truncated and count_truncation:
                 self.truncated_queries += truncated
                 from tdr.utils.trace import log
 
@@ -354,11 +399,173 @@ class SegmentedBM25:
                     "segmented top-k: %d quer%s may have lost live docs past "
                     "the tombstone margin (k_seg=%d, %d tombstones) — "
                     "compact_with() the segment store",
-                    truncated, "y" if truncated == 1 else "ies", k_seg, n_dead)
+                    truncated, "y" if truncated == 1 else "ies", k_seg,
+                    len(self._dead_rows))
             order = np.argsort(-vals, axis=1, kind="stable")
             vals = np.take_along_axis(vals, order, axis=1)
             rows = np.take_along_axis(rows, order, axis=1)
         return vals[:, :k], rows[:, :k]
+
+    @staticmethod
+    def _id_to_term_cached(model):
+        tab = getattr(model, "_id_to_term_cache", None)
+        if tab is None:
+            tab = model.vocab.id_to_term()
+            object.__setattr__(model, "_id_to_term_cache", tab)
+        return tab
+
+    def _prf_expand_encs(self, token_lists, encs):
+        """Store-level RM3 (see the class-field comment for the design):
+        global feedback pass → per-segment device mining → term-string
+        pooling on the host → per-segment re-encoding of the pooled top-E
+        expansion terms with ONE shared weight vector."""
+        import jax.numpy as jnp
+
+        from tdr.rank.feedback import prf_mine, relevance_doc_weights
+        from tdr.rank.router import _gather_pending
+
+        F, E, beta, min_docs = self._prf_params()
+        # pass 1: global live top-F feedback docs (tombstone-filtered,
+        # not counted against the truncation budget — feedback windows are
+        # narrow by design)
+        pulled = self._dispatch_pull(encs, self._k_seg(F))
+        vals1, rows1 = self._merge_pulled(pulled, F, self._k_seg(F),
+                                          count_truncation=False)
+        finite = np.isfinite(vals1) & (vals1 > 0)
+        sv = np.where(finite, vals1, 0.0)
+        wd = (sv / np.maximum(sv.sum(axis=1, keepdims=True),
+                              1e-9)).astype(np.float32)
+        base = len(self.main.docids)
+        in_delta = rows1 >= base
+
+        # per-segment mining at min_docs=1 and widened E (the global gate
+        # and the cross-segment pool run on the host); counts ride the
+        # same packed pull as exact small-int floats
+        E_mine = max(2 * E, E + 4)
+        vs, ps = [], []
+        qoff = 0
+        for n, em, ed in encs:
+            pad = em[0].shape[0]
+            sl = slice(qoff, qoff + n)
+            qoff += n
+
+            def _pad_chunk(a, fill):
+                out = np.full((pad, F), fill, a.dtype)
+                out[:n] = a[sl]
+                return jnp.asarray(out)
+
+            wd_c = _pad_chunk(wd, 0.0)
+            segs = [(self.main, np.where(in_delta, 0, rows1).astype(np.int32),
+                     finite & ~in_delta, em)]
+            if ed is not None:
+                segs.append((self.delta,
+                             np.where(in_delta, rows1 - base, 0).astype(np.int32),
+                             finite & in_delta, ed))
+            for model, rows_s, fin_s, enc in segs:
+                et, ew, ec = prf_mine(
+                    model._doc_major(), model.index.vocab_size,
+                    jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+                    wd_c, _pad_chunk(rows_s, 0), _pad_chunk(fin_s, False),
+                    n_expand=E_mine, min_docs=1,
+                    count_rank_clamp=min_docs)
+                vs.extend([ew, ec.astype(jnp.float32)])
+                ps.extend([et, et])
+        b_max = max(v.shape[0] for v in vs)
+        for i, (v, p) in enumerate(zip(vs, ps)):
+            if v.shape[0] < b_max:
+                vs[i] = jnp.pad(v, ((0, b_max - v.shape[0]), (0, 0)),
+                                constant_values=-jnp.inf)
+                ps[i] = jnp.pad(p, ((0, b_max - p.shape[0]), (0, 0)))
+        av, ar = _gather_pending(vs, ps)
+
+        # host pooling per query at the term-string level
+        tables = [self._id_to_term_cached(self.main)]
+        if self.delta is not None:
+            tables.append(self._id_to_term_cached(self.delta))
+        vocabs = [self.main.vocab] + (
+            [self.delta.vocab] if self.delta is not None else [])
+        n_seg = len(tables)
+        Qn = vals1.shape[0]
+        e_ids = [np.zeros((Qn, E), np.int32) for _ in range(n_seg)]
+        e_w = [np.zeros((Qn, E), np.float32) for _ in range(n_seg)]
+        item = 0
+        qoff = 0
+        for n, em, ed in encs:
+            seg_data = []
+            for s in range(n_seg):
+                seg_data.append((ar[item][:n], av[item][:n],
+                                 av[item + 1][:n].astype(np.int32)))
+                item += 2
+            for i in range(n):
+                g = qoff + i
+                qset = set(token_lists[g]) if g < len(token_lists) else set()
+                cand: dict = {}
+                for s, (et_a, ew_a, ec_a) in enumerate(seg_data):
+                    tab = tables[s]
+                    for j in range(E_mine):
+                        w = float(ew_a[i, j])
+                        if not np.isfinite(w) or w <= 0:
+                            continue
+                        tid = int(et_a[i, j])
+                        t = tab[tid] if 0 <= tid < len(tab) else ""
+                        if not t or t in qset:
+                            continue
+                        ent = cand.get(t)
+                        if ent is None:
+                            cand[t] = [w, int(ec_a[i, j])]
+                        else:
+                            ent[0] += w
+                            ent[1] += int(ec_a[i, j])
+                picked = sorted(
+                    ((t, tot) for t, (tot, cnt) in cand.items()
+                     if cnt >= min_docs),
+                    key=lambda x: -x[1])[:E]
+                if not picked:
+                    continue
+                mx = max(picked[0][1], 1e-9)
+                qscale = max(float(em[1][i].max()), 1e-9)
+                for e, (t, tot) in enumerate(picked):
+                    w = beta * (tot / mx) * qscale
+                    for s in range(n_seg):
+                        tid = vocabs[s].encode_term(t)
+                        if tid >= 0:
+                            e_ids[s][g, e] = tid
+                            e_w[s][g, e] = w
+            qoff += n
+
+        # expanded encodings: (Q, T+E) per segment, shared weights
+        new_encs = []
+        qoff = 0
+        for n, em, ed in encs:
+            pad = em[0].shape[0]
+
+            def _wide(enc, s):
+                ids = np.zeros((pad, E), np.int32)
+                w = np.zeros((pad, E), np.float32)
+                ids[:n] = e_ids[s][qoff:qoff + n]
+                w[:n] = e_w[s][qoff:qoff + n]
+                return (np.concatenate([enc[0], ids], axis=1),
+                        np.concatenate([enc[1], w], axis=1))
+
+            new_encs.append((n, _wide(em, 0),
+                             _wide(ed, 1) if ed is not None else None))
+            qoff += n
+        return new_encs
+
+    def topk_tokens(self, token_lists: Sequence[Sequence[str]], k: int = 10,
+                    pad_to: Optional[int] = None):
+        """Merged (scores (Q,k), rows (Q,k)) over main+delta minus
+        tombstones; rows index into `self.docids`.  Non-PRF retrieval is
+        one packed pull; PRF adds the two inherent extra syncs (feedback
+        merge + mined-term pull)."""
+        encs = self._encode_chunks(token_lists, pad_to)
+        if not encs:
+            return (np.zeros((0, k), np.float32), np.zeros((0, k), np.int64))
+        if self._prf_enabled():
+            encs = self._prf_expand_encs(token_lists, encs)
+        k_seg = self._k_seg(k)
+        pulled = self._dispatch_pull(encs, k_seg)
+        return self._merge_pulled(pulled, k, k_seg, count_truncation=True)
 
     def retrieve_tokens(self, token_lists: Sequence[Sequence[str]],
                         k: int = 10) -> List[List[str]]:

@@ -285,10 +285,12 @@ def test_cli_serve_json_lines(tmp_path):
     assert [r["query"] for r in results] == list(queries.queries[:4])
 
 
-def test_cli_serve_mutable_refuses_prf(tmp_path):
-    """--prf + --mutable must be refused at startup (rc=2): expanding the
-    main segment's queries but not the delta's would break cross-segment
-    score comparability."""
+def test_cli_serve_mutable_prf_composes(tmp_path):
+    """--prf + --mutable used to be refused; the segmented store now
+    orchestrates PRF globally (VERDICT r4 #6).  A live add must be
+    retrievable THROUGH the PRF path — queries keep working after the
+    delta segment appears."""
+    import json as _json
     import subprocess
     import sys as _sys
 
@@ -298,20 +300,31 @@ def test_cli_serve_mutable_refuses_prf(tmp_path):
     from tdr.rank import build_language_models
     from tdr.utils.config import IndexConfig
 
-    corpus, _ = synthetic_corpus(
+    corpus, queries = synthetic_corpus(
         SyntheticSpec(n_docs=60, n_queries=2, seed=3, langs=("en",),
                       ref_proportions=False))
     models = build_language_models(
         corpus, BM25Model, index_cfg=IndexConfig(head_budget_bytes=1 << 19))
     save_registry(str(tmp_path / "idx"), models)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    zebra_text = "zebra quagga okapi savanna grassland striped equid"
+    reqs = "\n".join([
+        _json.dumps({"query": queries.queries[0], "lang": "en", "k": 5}),
+        _json.dumps({"add": {"docid": "live1", "text": zebra_text,
+                             "lang": "en"}}),
+        _json.dumps({"query": "zebra quagga okapi", "lang": "en", "k": 5}),
+    ]) + "\n"
     p = subprocess.run(
         [_sys.executable, "-m", "tdr.cli", "serve", "--mutable", "--prf",
-         "--index", str(tmp_path / "idx")],
-        input=b"", capture_output=True, timeout=570, env=env,
+         "--index", str(tmp_path / "idx"), "--k", "5", "--batch", "8",
+         "--window-ms", "0"],
+        input=reqs.encode(), capture_output=True, timeout=570, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    assert p.returncode == 2
-    assert b"comparability" in p.stderr
+    assert p.returncode == 0, p.stderr.decode()[-800:]
+    out = [_json.loads(l) for l in p.stdout.decode().splitlines() if l.strip()]
+    results = [r for r in out if "docids" in r]
+    assert len(results) == 2
+    assert "live1" in results[1]["docids"]
 
 
 def test_cli_serve_rejects_bad_requests_without_dying(tmp_path):

@@ -338,18 +338,24 @@ class TestMergePolicy:
         seg3.topk_tokens([["hot"]], k=10)
         assert seg3.truncated_queries and seg3.should_compact
 
-    def test_prf_on_a_segment_model_is_refused(self):
-        """Library-level guard for the serve --mutable --prf refusal: a
-        prf-enabled main model inside a segmented store would expand only
-        its own pass and break cross-segment score comparability."""
+    def test_prf_on_a_segment_model_promotes_to_store_prf(self):
+        """A prf-enabled main model inside a segmented store used to be
+        refused (model-level expansion covers only one segment's vocab);
+        it now promotes to STORE-orchestrated PRF — feedback merged across
+        segments, pooled expansion re-encoded per segment — and must stay
+        consistent with the store-level flag."""
         toks = [["hot", f"s{i}"] for i in range(50)]
         seg = SegmentedBM25.build(toks, [f"d{i}" for i in range(50)],
                                   index_cfg=CFG)
         seg.main.prf = True
-        with pytest.raises(ValueError, match="comparability"):
-            seg.topk_tokens([["hot"]], k=5)
+        v_model, r_model = seg.topk_tokens([["hot"]], k=5)
         seg.main.prf = False
-        seg.topk_tokens([["hot"]], k=5)       # recovers cleanly
+        seg.prf = True
+        v_store, r_store = seg.topk_tokens([["hot"]], k=5)
+        np.testing.assert_array_equal(r_model, r_store)
+        np.testing.assert_allclose(v_model, v_store)
+        seg.prf = False
+        seg.topk_tokens([["hot"]], k=5)       # plain path still clean
 
     def test_should_compact_resets_after_compaction(self):
         """Round-4 review finding: truncated_queries is a lifetime counter,
@@ -366,3 +372,119 @@ class TestMergePolicy:
         live = [i for i in range(n) if i >= 1100]
         seg.compact_with([toks[i] for i in live], [ids[i] for i in live])
         assert not seg.should_compact
+
+
+class TestSegmentedPrf:
+    """Store-orchestrated RM3 (VERDICT r4 #6): PRF composes with live
+    updates — feedback merged globally, mining per segment, pooled
+    expansion re-encoded into each segment's vocab."""
+
+    def _zebra_world(self):
+        # 6 main docs establish zebra<->quagga co-occurrence; filler docs
+        # keep idf meaningful
+        main = [["zebra", "quagga", "savanna"] for _ in range(6)]
+        main += [[f"filler{i}", f"x{i % 7}"] for i in range(40)]
+        ids = [f"m{i}" for i in range(len(main))]
+        return main, ids
+
+    @staticmethod
+    def _positive_ids(seg, query, k=20):
+        """Docids with score > 0 — docs matching NO query/expansion term
+        score 0 under the full-head matmul (not -inf), so membership in a
+        wide top-k alone cannot prove a term matched."""
+        v, r = seg.topk_tokens([query], k=k)
+        ids = seg.docids
+        return [ids[x] for x, val in zip(r[0], v[0])
+                if np.isfinite(val) and val > 0]
+
+    def test_store_prf_no_delta_matches_model_prf(self):
+        """With no delta and no tombstones, store PRF must reproduce
+        model-level PRF (same mining formulas, host-pooled).  The fixture
+        plants a dominant feedback doc with many PRIVATE terms: their raw
+        totals outrank every co-occurring term, so a pure-total mining
+        window truncates exactly what min_docs keeps (the count_rank_clamp
+        regression — 4 of 5 expansion terms lost before the two-key
+        ranking)."""
+        import dataclasses
+
+        from tdr.models import BM25Model
+
+        rng = np.random.RandomState(7)
+        toks, ids = _docs(rng, 80)
+        # dominant doc: matches twice as hard, carries 20 private terms
+        toks[0] = ["t1", "t1", "t2"] + [f"private{j}" for j in range(20)]
+        # co-occurring expansion signal spread over lighter docs
+        for d in (1, 2, 3):
+            toks[d] = ["t1", "t2", "shared_a", "shared_b"]
+        queries = [["t1", "t2"]] + [
+            [f"t{rng.randint(300)}", f"t{rng.randint(300)}"]
+            for _ in range(5)]
+        model = dataclasses.replace(
+            BM25Model.build(toks, ids, index_cfg=CFG), prf=True)
+        vm, rm = model.topk_tokens(queries, k=5)
+        seg = SegmentedBM25.build(toks, ids, index_cfg=CFG)
+        seg.prf = True
+        vs, rs = seg.topk_tokens(queries, k=5)
+        np.testing.assert_allclose(vs, vm, rtol=1e-4, atol=1e-5)
+        # doc agreement wherever the margin beats tie-order noise
+        margin = np.abs(vm - np.roll(vm, -1, axis=1)) > 1e-4
+        same = (rs == rm) | ~np.isfinite(vm)
+        assert (same | ~margin)[:, :-1].all()
+
+    def test_prf_reaches_delta_docs_through_main_feedback(self):
+        """Expansion terms mined from MAIN feedback docs must retrieve a
+        DELTA doc that shares only the expansion term — the cross-segment
+        composition the old refusal forbade."""
+        main, ids = self._zebra_world()
+        seg = SegmentedBM25.build(main, ids, index_cfg=CFG)
+        seg.add_documents([["quagga", "okapi", "reserve"]], ["live1"])
+        assert "live1" not in self._positive_ids(seg, ["zebra"])
+        seg.prf = True
+        assert "live1" in self._positive_ids(seg, ["zebra"])
+
+    def test_prf_counts_cooccurrence_across_segments(self):
+        """min_docs co-occurrence is gated on the SUMMED per-segment
+        counts: a term appearing once in a main feedback doc and once in a
+        delta feedback doc passes min_docs=2."""
+        main = [["zebra", "quagga", "plain"],
+                ["zebra", "stripe", "plain"]]
+        main += [[f"filler{i}"] for i in range(30)]
+        ids = [f"m{i}" for i in range(len(main))]
+        seg = SegmentedBM25.build(main, ids, index_cfg=CFG)
+        # delta doc: zebra + quagga again -> quagga now co-occurs in 2
+        # feedback docs, one per segment
+        seg.add_documents([["zebra", "quagga", "herd"],
+                           ["quagga", "museum"]],
+                          ["dq", "dtarget"])
+        seg.prf = True
+        seg.prf_docs = 4
+        seg.prf_min_docs = 2
+        # reachable only via the pooled 1+1 count
+        assert "dtarget" in self._positive_ids(seg, ["zebra"])
+
+    def test_prf_feedback_excludes_tombstones(self):
+        """A deleted doc must not feed expansion: tombstones are filtered
+        BEFORE the feedback window."""
+        main = [["hot", "poison"]]                    # the doc to delete
+        main += [["hot", f"pad{i}"] for i in range(4)]
+        main += [["poison", "target"], ["cold", "other"]]
+        main += [[f"filler{i}"] for i in range(30)]
+        ids = [f"m{i}" for i in range(len(main))]
+        seg = SegmentedBM25.build(main, ids, index_cfg=CFG)
+        seg.prf = True
+        seg.prf_min_docs = 1
+        assert "m5" in self._positive_ids(seg, ["hot"], k=30)   # via poison
+        seg.delete_documents(["m0"])
+        got2 = self._positive_ids(seg, ["hot"], k=30)
+        assert "m5" not in got2                       # feedback is live-only
+        assert "m0" not in got2
+
+    def test_prf_deterministic(self):
+        main, ids = self._zebra_world()
+        seg = SegmentedBM25.build(main, ids, index_cfg=CFG)
+        seg.add_documents([["quagga", "okapi"]], ["live1"])
+        seg.prf = True
+        v1, r1 = seg.topk_tokens([["zebra"], ["savanna"]], k=10)
+        v2, r2 = seg.topk_tokens([["zebra"], ["savanna"]], k=10)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(v1, v2)
