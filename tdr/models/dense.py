@@ -95,9 +95,40 @@ class FlatIndex:
     metric: str = dataclasses.field(metadata=dict(static=True), default="ip")
 
 
-@partial(jax.jit, static_argnames=("top_k", "approx", "recall_target"))
+def _resolve_flat_engine(index: "FlatIndex", top_k: int, approx: bool,
+                         engine: str) -> str:
+    """Pick the exact-scoring engine at trace time (host-side only:
+    backend + static shapes).  "auto" -> the fused Pallas block-max engine
+    (tdr/ops/pallas_flat.py) on TPU backends whenever the shapes qualify —
+    it is exact and ~2-4x the XLA path's bandwidth efficiency (the (Q, N)
+    score matrix never lands in HBM); the XLA path otherwise.  "fused"
+    forces the kernel (interpret-mode off-TPU, for tests); "xla" forces
+    the materialized-scores path.  approx mode always takes the XLA path
+    (``approx_max_k`` is already selection-fused)."""
+    if approx or engine == "xla":
+        return "xla"
+    from tdr.ops.pallas_flat import fused_flat_available
+
+    ok = fused_flat_available(index.embeddings, top_k)
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "none"
+    if engine == "fused":
+        if not ok:
+            raise ValueError(
+                f"fused flat engine unavailable for shape "
+                f"{index.embeddings.shape} dtype {index.embeddings.dtype}")
+        return "fused" if platform in ("tpu", "axon") else "fused_interpret"
+    assert engine == "auto", engine
+    return "fused" if (ok and platform in ("tpu", "axon")) else "xla"
+
+
+@partial(jax.jit, static_argnames=("top_k", "approx", "recall_target",
+                                   "engine"))
 def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
-                approx: bool = False, recall_target: float = 0.95):
+                approx: bool = False, recall_target: float = 0.95,
+                engine: str = "auto"):
     """(Q, D) queries → (vals, rows): one MXU matmul + top_k.
 
     The doc matrix is stored bf16 (build_flat_index) so no per-batch N·D
@@ -118,7 +149,21 @@ def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
     int8 (SQ8) indexes run the matmul int8×int8→int32 on the MXU — half
     the bf16 HBM read, 2× the systolic rate — and dequantize the (Q, N)
     output with the per-query × per-doc scales (both on output axes, so
-    nothing approximate enters the reduction)."""
+    nothing approximate enters the reduction).
+
+    ``engine`` selects the exact-scoring implementation (see
+    ``_resolve_flat_engine``); on TPU the default resolves to the fused
+    Pallas block-max kernel, which is exact and never materializes the
+    (Q, N) score matrix in HBM."""
+    eng = _resolve_flat_engine(index, top_k, approx, engine)
+    if eng != "xla":
+        from tdr.ops.pallas_flat import fused_flat_topk
+
+        return fused_flat_topk(
+            index.embeddings, q, top_k=top_k, metric=index.metric,
+            n_docs=index.n_docs, doc_sq=index.doc_sq,
+            doc_scale=index.doc_scale,
+            interpret=(eng == "fused_interpret"))
     if index.embeddings.dtype == jnp.int8:
         q8, qs = quantize_queries_int8(q)
         acc = jax.lax.dot_general(q8, index.embeddings,
@@ -154,10 +199,11 @@ def flat_search(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
 
 
 @partial(jax.jit, static_argnames=("top_k", "n_feedback", "approx",
-                                   "recall_target"))
+                                   "recall_target", "engine"))
 def flat_search_prf(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
                     n_feedback: int = 3, alpha: float = 0.5,
-                    approx: bool = False, recall_target: float = 0.95):
+                    approx: bool = False, recall_target: float = 0.95,
+                    engine: str = "auto"):
     """Rocchio pseudo-relevance feedback for dense search (the embedding-
     space sibling of the sparse engine's RM3, tdr.rank.feedback): first
     pass top-F, pull the query toward the feedback centroid, one second
@@ -172,7 +218,8 @@ def flat_search_prf(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
     indexes."""
     fb_vals, fb_rows = flat_search(index, q, top_k=n_feedback,
                                    approx=approx,
-                                   recall_target=recall_target)
+                                   recall_target=recall_target,
+                                   engine=engine)
     finite = jnp.isfinite(fb_vals)
     rows_safe = jnp.where(finite, fb_rows, 0)
     emb = index.embeddings[rows_safe].astype(jnp.float32)   # (Q, F, D)
@@ -193,7 +240,8 @@ def flat_search_prf(index: FlatIndex, q: jnp.ndarray, top_k: int = 10,
     any_fb = jnp.any(finite, axis=1, keepdims=True)
     q2 = jnp.where(any_fb, q2, qf)
     return flat_search(index, q2.astype(q.dtype), top_k=top_k,
-                       approx=approx, recall_target=recall_target)
+                       approx=approx, recall_target=recall_target,
+                       engine=engine)
 
 
 def build_flat_index(embeddings: np.ndarray, pad_multiple: int = 128,
