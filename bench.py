@@ -406,8 +406,43 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
                       seed=7, hard=True, ref_proportions=False, langs=("en",),
                       sentences_per_doc=6))
     dcfg = DenseConfig(vocab_size=4000, dim=64, depth=2, heads=4, max_len=32)
+
+    # Encoder training data (VERDICT r4 #4 — the DPR/ANCE mining recipe,
+    # tdr/train/mining.py, wired into the cascade it was built for):
+    #   * pairs: the n_dev DEV queries + ICT pseudo-queries from corpus
+    #     text alone — the EVAL tail never enters training (r4's flow
+    #     trained on the full query set, eval queries included; that
+    #     leakage is closed here)
+    #   * negatives: mined from the serving BM25 engine's top ranks — the
+    #     exact documents the re-ranker must reorder at the cascade
+    #     boundary — instead of the trainer's random-doc fallback
+    from tdr.rank import LanguageRouter, build_language_models
+    from tdr.train.mining import (concat_querysets, make_pseudo_queries,
+                                  mine_hard_negatives)
+
+    doc_models = build_language_models(corpus2)
+    doc_router = LanguageRouter(doc_models, query_batch=256)
+    import dataclasses as _dc
+
+    dev_qs = _dc.replace(
+        queries2,
+        query_ids=queries2.query_ids[:n_dev],
+        queries=queries2.queries[:n_dev],
+        langs=queries2.langs[:n_dev],
+        positive_docs=queries2.positive_docs[:n_dev],
+        negative_docs=None,
+    )
+    t0 = time.perf_counter()
+    pqs = make_pseudo_queries(corpus2, int(os.environ.get(
+        "TDR_BENCH_PSEUDO_QUERIES", 4000)), seed=11)
+    mined = mine_hard_negatives(doc_router, concat_querysets([dev_qs, pqs]),
+                                n_neg=2, depth=20,
+                                fallback_docids=corpus2.docids, seed=11)
+    mine_s = time.perf_counter() - t0
+    log.info("mined %d training queries (%d pseudo) in %.1fs",
+             len(mined.queries), len(pqs.queries), mine_s)
     model, state, train_metrics = train_dense_retriever(
-        corpus2, queries2, dcfg, epochs=3, batch_size=50, n_neg=1, lr=1e-3)
+        corpus2, mined, dcfg, epochs=3, batch_size=50, n_neg=2, lr=1e-3)
     dense = DenseModel.build(model, state.params, dcfg,
                              corpus2.texts[:1], corpus2.docids[:1], batch=32)
     t0 = time.perf_counter()
@@ -441,11 +476,9 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
     # sentence-granular lexical→dense); reciprocal-rank fusing their top-k
     # lists measured +2 recall points over the best single engine at 20k
     # docs — report the at-scale number next to both singles
-    from tdr.rank import LanguageRouter, build_language_models, rrf_fuse
+    from tdr.rank import rrf_fuse
 
-    doc_models = build_language_models(corpus2)
-    res_doc = LanguageRouter(doc_models, query_batch=lm.query_batch).retrieve(
-        q_ev, l_ev, k=10)
+    res_doc = doc_router.retrieve(q_ev, l_ev, k=10)
     rrf_recall = recall_at_k(rrf_fuse([res_doc, res2], k=10), p_ev, 10)
     out.update({
         "sentence_lm_cascade_qps": round(sent_queries / dt2, 1),
@@ -463,6 +496,10 @@ def _cascade_bench(n_docs: int = 207_363, n_queries: int = 1000,
         "sentence_fusion_alpha": lm.fusion_alpha,
         "sentence_doc_agg_weight": lm.doc_agg_weight,
         "sentence_encoder_loss_curve": train_metrics.get("loss_curve"),
+        "sentence_train_queries": len(mined.queries),
+        "sentence_train_pseudo_queries": len(pqs.queries),
+        "sentence_mined_negatives": True,
+        "sentence_mine_sec": round(mine_s, 1),
         "sentence_alpha_dev_curve": {str(a): round(r, 4)
                                      for a, r in curve.items()},
         "sentence_index_build_sec": round(sent_build_s, 1),

@@ -96,3 +96,71 @@ class TestHfConversion:
         c = minilm_l12_config()
         assert (c.depth, c.dim, c.heads, c.mlp_hidden) == (12, 384, 12, 1536)
         assert c.vocab_size == 250037
+
+
+class TestConvertedEncoderServes:
+    """VERDICT r4 #9: the converter's output must SERVE end-to-end, not
+    just shape-check — wrap the converted ``BertEncoder`` in a
+    ``DenseModel``, embed a corpus, retrieve through ``SentenceLmCascade``,
+    and pin the dense stage against the torch model's own brute-force
+    cosine ranking (same HF-format state dict on both sides)."""
+
+    DOCS = [
+        "alpine glaciers retreat meltwater lakes survey",
+        "honeybees pollinate orchards nectar hives spring",
+        "quantum qubits superposition interference algorithms",
+        "printing press movable type books literacy europe",
+        "coral reefs bleaching warm seawater symbiotic algae",
+        "aqueduct arches stone gradient fountains roman",
+        "volcanic ash plume jet engines aviation reroute",
+        "desalination reverse osmosis membranes seawater pressure",
+    ]
+
+    def _dense(self, hf_model):
+        from tdr.models.dense import DenseModel
+        from tdr.utils.config import DenseConfig
+
+        params = convert_hf_bert(hf_model.state_dict(), CFG)
+        enc = BertEncoder(CFG)
+        dcfg = DenseConfig(vocab_size=CFG.vocab_size, dim=CFG.dim,
+                           max_len=CFG.max_len)
+        docids = [f"d{i}" for i in range(len(self.DOCS))]
+        return DenseModel.build(enc, params, dcfg, self.DOCS, docids,
+                                batch=32)
+
+    def test_dense_retrieve_matches_torch_cosine(self, hf_model):
+        from tdr.text.hash_tokenizer import encode_batch
+
+        dense = self._dense(hf_model)
+        queries = ["glaciers meltwater", "qubits superposition",
+                   "reverse osmosis membranes"]
+        got = dense.retrieve(queries, k=3)
+
+        # torch side: same hash tokenization, sentence-transformers pooling
+        ids_d, mask_d = encode_batch(self.DOCS, CFG.vocab_size, CFG.max_len)
+        ids_q, mask_q = encode_batch(queries, CFG.vocab_size, CFG.max_len)
+        emb_d = _torch_sentence_embed(hf_model, ids_d, mask_d)
+        emb_q = _torch_sentence_embed(hf_model, ids_q, mask_q)
+        want = np.argsort(-(emb_q @ emb_d.T), axis=1)[:, :3]
+        for g, w in zip(got, want):
+            assert g[0] == f"d{w[0]}", (g, w)
+            assert set(g) == {f"d{j}" for j in w}
+
+    def test_serves_through_sentence_cascade(self, hf_model):
+        from tdr.rank import SentenceBM25, SentenceLmCascade
+        from tdr.utils.config import IndexConfig
+
+        dense = self._dense(hf_model)
+        docids = [f"d{i}" for i in range(len(self.DOCS))]
+        sb = SentenceBM25.build(
+            docids, self.DOCS, "en",
+            index_cfg=IndexConfig(doc_pad_multiple=8, nnz_pad_multiple=64,
+                                  head_budget_bytes=1 << 18))
+        lm = SentenceLmCascade({"en": sb}, dense, bm25_candidates=8)
+        sb.precompute_embeddings(dense)
+        queries = ["coral bleaching seawater", "volcanic ash jet engines"]
+        res = lm.retrieve(queries, ["en", "en"], k=3)
+        assert res[0][0] == "d4"
+        assert res[1][0] == "d6"
+        # deterministic across calls (the serving property)
+        assert lm.retrieve(queries, ["en", "en"], k=3) == res
