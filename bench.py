@@ -793,37 +793,65 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
     qs = [make_q(k) for k in keys]
     jax.block_until_ready(qs)
 
+    # timing: this tunnel's block_until_ready EARLY-ACKS (round-5 probe:
+    # dispatch+block of 64 distinct batches returned in 0.24 ms/call while
+    # the actual work surfaced only at data-pull time), so every timed
+    # region ends with a device-side checksum of ALL outputs pulled to
+    # host — work cannot be acked away.  The one pull RPC (~25 ms)
+    # amortizes over len(qs) calls.
+    pack = jax.jit(lambda vs: jnp.stack([v.sum() for v in vs]).sum())
+
     def timed(fn):
-        jax.block_until_ready(fn(qs[-1]))       # compile + warm
+        float(np.asarray(pack([fn(qs[-1])[0], fn(qs[-2])[0]])))  # warm
         t0 = time.perf_counter()
         outs = [fn(q) for q in qs]
-        jax.block_until_ready(outs)
+        float(np.asarray(pack([o[0] for o in outs])))
         return (time.perf_counter() - t0) / len(qs)
 
-    dt = timed(lambda q: flat_search(flat, q, 10))
+    dt = timed(lambda q: flat_search(flat, q, 10))          # auto: fused on TPU
+    dt_xla = timed(lambda q: flat_search(flat, q, 10, engine="xla"))
     dt_ap = timed(lambda q: flat_search(flat, q, 10, approx=True))
+    from tdr.models.dense import _resolve_flat_engine
+    engine = _resolve_flat_engine(flat, 10, False, "auto")
     # approx quality: mean top-10 overlap vs exact on one batch
     _, r_ex = flat_search(flat, qs[0], 10)
+    _, r_xla = flat_search(flat, qs[0], 10, engine="xla")
     _, r_ap = flat_search(flat, qs[0], 10, approx=True)
-    r_ex, r_ap = np.asarray(r_ex), np.asarray(r_ap)
+    r_ex, r_xla, r_ap = np.asarray(r_ex), np.asarray(r_xla), np.asarray(r_ap)
     overlap = float(np.mean([len(set(r_ex[i]) & set(r_ap[i])) / 10.0
                              for i in range(batch)]))
+    overlap_xla = float(np.mean([len(set(r_ex[i]) & set(r_xla[i])) / 10.0
+                                 for i in range(batch)]))
 
     flops = 2.0 * batch * n_docs * dim
-    # bytes model for the exact engine: read the bf16 doc matrix once,
-    # write the f32 score matrix, read it back for the top-k custom call
-    # (the candidate gather is k*128 columns per query, <1%)
     n_pad = int(flat.embeddings.shape[0])
-    model_bytes = n_pad * dim * 2 + 2 * batch * n_pad * 4
+    if engine == "xla":
+        # read the bf16 doc matrix once, write the f32 score matrix, read
+        # it back for the top-k custom call
+        model_bytes = n_pad * dim * 2 + 2 * batch * n_pad * 4
+    else:
+        # fused engine (tdr/ops/pallas_flat.py): the score matrix never
+        # lands in HBM — emb read + per-8-doc maxima write + transposed
+        # re-read + the k*8-row rescore gather
+        model_bytes = (n_pad * dim * 2 + 2 * (n_pad // 8) * batch * 4
+                       + batch * 10 * 8 * dim * 2)
     peak_gbps = float(os.environ.get("TDR_PEAK_GBPS", 819.0))
     floor = max(model_bytes / (peak_gbps * 1e9), flops / (peak_tflops * 1e12))
     out = {
+        "dense_flat_engine": engine,
         "dense_flat_qps": round(batch / dt, 1),
         "dense_flat_ms_per_batch": round(dt * 1e3, 2),
         "dense_flat_mfu": round(flops / dt / (peak_tflops * 1e12), 4),
         "dense_flat_model_bytes": int(model_bytes),
         "dense_flat_floor_ms": round(floor * 1e3, 2),
         "dense_flat_roofline_frac": round(floor / dt, 3),
+        "dense_flat_xla_ms_per_batch": round(dt_xla * 1e3, 2),
+        "dense_flat_fused_vs_xla_top10_overlap": round(overlap_xla, 4),
+        # the r4 target was stated against the MATERIALIZED-scores byte
+        # model (floor 0.82 ms at this shape): keep that frac comparable
+        "dense_flat_frac_of_xla_model_floor": round(
+            (n_pad * dim * 2 + 2 * batch * n_pad * 4)
+            / (peak_gbps * 1e9) / dt, 3),
         "dense_flat_approx_qps": round(batch / dt_ap, 1),
         "dense_flat_approx_ms_per_batch": round(dt_ap * 1e3, 2),
         "dense_flat_approx_mfu": round(flops / dt_ap / (peak_tflops * 1e12), 4),
@@ -869,6 +897,109 @@ def _dense_search_bench(n_docs: int = 262_144, dim: int = 256,
     out["dense_ivf_sq8_top10_overlap"] = round(float(np.mean(
         [len(set(r_ivf[i]) & set(r_ivf8[i])) / 10.0
          for i in range(batch)])), 4)
+    return out
+
+
+def _ivf_crossover_bench(n_docs: int = None, nlist: int = None,
+                         rep: int = None, batches=(32, 256)) -> dict:
+    """VERDICT r4 #7: locate the flat-vs-IVF crossover with a measurement
+    instead of the ARCHITECTURE note's assertion.
+
+    Dense-only synthetic at TDR_BENCH_IVF_DOCS (default 2^21 ≈ 2.1M) docs
+    x 256-dim, generated ON DEVICE as a mixture of clusters (docs =
+    normalized center + noise): iid-gaussian embeddings are the degenerate
+    no-structure case where IVF can only lose; real sentence embeddings
+    cluster, and the mixture gives k-means real structure, like FAISS's
+    own benchmark corpora.  Ground truth = the exact flat engine.
+
+    The crossover is BATCH-dependent: flat's one matrix read amortizes
+    over the whole query batch, while IVF's probed-bucket gather scales
+    with Q — flat reads N·D bytes/batch, IVF ~ Q·nprobe·bucket_pad·D.  So
+    the section reports both a serving-ish batch (32) and the bench batch
+    (256) across nprobe, with recall@10 against exact."""
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdr.models.dense import (build_ivf_index_device, flat_search,
+                                  ivf_search)
+
+    n_docs = n_docs or int(os.environ.get("TDR_BENCH_IVF_DOCS", 1 << 21))
+    dim = 256
+    nlist = nlist or int(os.environ.get("TDR_BENCH_IVF_NLIST", 4096))
+    n_clusters = nlist
+    rep = rep or int(os.environ.get("TDR_BENCH_IVF_REPS", 16))
+
+    @partial(jax.jit, static_argnames=("n", "d", "c"))
+    def gen(key, n, d, c):
+        kc, kn, ka = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (c, d), jnp.float32)
+        centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+        assign = jax.random.randint(ka, (n,), 0, c)
+        # per-coordinate noise 0.05 -> noise NORM ~ 0.05*sqrt(d) = 0.8 of
+        # the unit center: moderate clusters (a 0.35 coefficient would give
+        # noise norm 5.6 - pure noise, the degenerate case again)
+        e = centers[assign] + 0.05 * jax.random.normal(kn, (n, d), jnp.float32)
+        e /= jnp.linalg.norm(e, axis=1, keepdims=True)
+        return e.astype(jnp.bfloat16), centers
+
+    t0 = time.perf_counter()
+    emb, centers = gen(jax.random.PRNGKey(0), n_docs, dim, n_clusters)
+    jax.block_until_ready(emb)
+    gen_s = time.perf_counter() - t0
+
+    # flat indexes share the device-resident matrix (no host round trip)
+    from tdr.models.dense import FlatIndex
+    flat16 = FlatIndex(embeddings=emb, n_docs=n_docs, metric="ip")
+
+    t0 = time.perf_counter()
+    ivf = build_ivf_index_device(emb, nlist=nlist, iters=8, dtype="int8")
+    jax.block_until_ready(ivf.buckets)
+    ivf_build_s = time.perf_counter() - t0
+
+    @partial(jax.jit, static_argnames=("q",))
+    def make_q(key, q):
+        kc, kn = jax.random.split(key)
+        pick = jax.random.randint(kc, (q,), 0, n_clusters)
+        e = centers[pick] + 0.05 * jax.random.normal(kn, (q, dim), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    out: dict = {"ivf_n_docs": n_docs, "ivf_dim": dim, "ivf_nlist": nlist,
+                 "ivf_bucket_pad": ivf.bucket_pad,
+                 "ivf_gen_sec": round(gen_s, 1),
+                 "ivf_build_sec": round(ivf_build_s, 1),
+                 "ivf_bucket_max_over_mean": round(
+                     ivf.bucket_pad / (n_docs / nlist), 2)}
+    for Qb in batches:
+        keys = jax.random.split(jax.random.PRNGKey(5), rep + 1)
+        qs = [make_q(k, Qb) for k in keys]
+        jax.block_until_ready(qs)
+
+        def timed(fn):
+            jax.block_until_ready(fn(qs[-1]))
+            t0 = time.perf_counter()
+            outs = [fn(x) for x in qs[:rep]]
+            jax.block_until_ready(outs)
+            return (time.perf_counter() - t0) / rep
+
+        dt_flat = timed(lambda x: flat_search(flat16, x, 10))
+        exact = [np.asarray(flat_search(flat16, x, 10)[1]) for x in qs[:2]]
+        sec = {"flat_exact_qps": round(Qb / dt_flat, 1),
+               "flat_exact_ms": round(dt_flat * 1e3, 2)}
+        for nprobe in (4, 8, 16, 32):
+            dt = timed(lambda x, p=nprobe: ivf_search(ivf, x, 10, nprobe=p))
+            got = [np.asarray(ivf_search(ivf, x, 10, nprobe=nprobe)[1])
+                   for x in qs[:2]]
+            rec = float(np.mean([
+                len(set(g) & set(e)) / 10.0
+                for G, E in zip(got, exact) for g, e in zip(G, E)]))
+            sec[f"ivf_np{nprobe}_qps"] = round(Qb / dt, 1)
+            sec[f"ivf_np{nprobe}_ms"] = round(dt * 1e3, 2)
+            sec[f"ivf_np{nprobe}_recall_vs_exact"] = round(rec, 4)
+        out[f"batch_{Qb}"] = sec
     return out
 
 
@@ -1193,6 +1324,11 @@ def main() -> None:
         dense = _section("dense_search", _dense_search_bench)
         log.info("dense search bench: %s", dense)
 
+    ivf_xover = {}
+    if os.environ.get("TDR_BENCH_IVF_XOVER", "1") == "1":
+        ivf_xover = _section("ivf_crossover", _ivf_crossover_bench)
+        log.info("ivf crossover bench: %s", ivf_xover)
+
     cascade = {}
     stress = {}
     run_cascade = os.environ.get("TDR_BENCH_CASCADE", "1") == "1"
@@ -1229,6 +1365,7 @@ def main() -> None:
             "serving_latency": latency,
             "real_text": real_text,
             "dense_search": dense,
+            "ivf_crossover": ivf_xover,
             "cascades": cascade,
             "vocab_stress": stress,
             "device": str(jax.devices()[0]),

@@ -125,3 +125,15 @@ def test_section_isolates_failures():
     assert bench._section("x", lambda: {"ok": 1}) == {"ok": 1}
     out = bench._section("x", lambda: 1 / 0)
     assert "ZeroDivisionError" in out["section_error"]
+
+
+def test_ivf_crossover_section():
+    out = bench._ivf_crossover_bench(n_docs=2048, nlist=16, rep=2,
+                                     batches=(8,))
+    assert out["ivf_n_docs"] == 2048
+    sec = out["batch_8"]
+    assert sec["flat_exact_qps"] > 0
+    # full-probe IVF must recover (nearly) the exact top-10; tight clusters
+    # make even small probes accurate on this synthetic geometry
+    assert sec["ivf_np16_recall_vs_exact"] >= 0.9
+    assert sec["ivf_np4_recall_vs_exact"] >= 0.5
