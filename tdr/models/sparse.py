@@ -137,15 +137,33 @@ class SparseModel:
 
     def _score_encoded(self, qids, qw, k: int):
         if self.use_fused_topk:
-            head_engine = ("gather"
-                           if 0 < qids.shape[0] <= self.small_q_threshold
-                           else "matmul")
+            if 0 < qids.shape[0] <= self.small_q_threshold:
+                head_engine = "gather"
+            else:
+                head_engine = self._resolved_head_engine(k)
             return score_and_topk_fused(self.index, qids, qw, top_k=k,
                                         tail_budget=self.tail_budget,
                                         tail_engine=self._resolved_tail_engine(),
                                         topk_mode=self.topk_mode,
                                         head_engine=head_engine)
         return score_and_topk(self.index, qids, qw, top_k=k)
+
+    def _resolved_head_engine(self, k: int) -> str:
+        """Full-batch head engine: the fused Pallas block-max top-k
+        (tdr/ops/pallas_flat.fused_head_topk) on TPU for full-vocab-head
+        indexes in exact mode — the (Q, N) score matrix never lands in
+        HBM; the full-head matmul otherwise."""
+        if self.topk_mode != "exact":
+            return "matmul"
+        from tdr.ops.pallas_flat import fused_head_available
+
+        if not fused_head_available(self.index, k):
+            return "matmul"
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return "matmul"
+        return "fused" if platform in ("tpu", "axon") else "matmul"
 
     def _doc_major(self):
         """Doc-major CSR mirror for feedback mining.  Cached ON the index

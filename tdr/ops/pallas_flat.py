@@ -233,3 +233,150 @@ def fused_flat_topk(
                        constant_values=-jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, top_k - k_eff)))
     return vals, rows
+
+
+# --------------------------------------------------------------------------
+# Sparse full-vocab-head fused top-k (the headline BM25 engine's hot branch)
+# --------------------------------------------------------------------------
+
+def _make_head_kernel(sub: int):
+    def kernel(wT_ref, head_ref, bias_ref, out_ref):
+        # contraction over the slot axis (sublanes of BOTH operands):
+        # (D, B) x (D, Qp) -> (B, Qp), docs on sublanes like the dense kernel
+        s = jax.lax.dot_general(
+            head_ref[:], wT_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[:]
+        b = s.shape[0]
+        out_ref[:] = jnp.max(s.reshape(b // sub, sub, s.shape[1]), axis=1)
+    return kernel
+
+
+def _pick_head_block(n: int, qp: int, d: int, esize: int, sub: int) -> int:
+    for b in (2048, 1024, 512, 256, 128):
+        if n % b or b % (8 * sub):
+            continue
+        if b * (d * esize + qp * 4) + d * qp * esize <= _VMEM_STEP_BUDGET:
+            return b
+    return 0
+
+
+def fused_head_available(index, top_k: int = 10, sub: int = 8) -> bool:
+    """Gate for the sparse-head fused engine: full-vocab head (no tail —
+    the merge needs no materialized score matrix), bf16/f32 head, shapes
+    lane-aligned, and a corpus big enough that (a) the win matters and
+    (b) we spend the one-time slow Mosaic compile only on partitions that
+    earn it.  ``TDR_PALLAS_HEAD=0`` opts out."""
+    if os.environ.get("TDR_PALLAS_HEAD", "1") != "1":
+        return False
+    if index.head_size < index.vocab_size:
+        return False
+    d, n = index.head_rows.shape
+    if index.head_rows.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if d % 8 or n % (8 * sub) or n < 65536 or n // sub < top_k:
+        return False
+    return _pick_head_block(n, _LANES, d, index.head_rows.dtype.itemsize,
+                            sub) > 0
+
+
+@partial(jax.jit, static_argnames=("top_k", "sub", "interpret"))
+def fused_head_topk(
+    index,
+    qids: jnp.ndarray,
+    qw: jnp.ndarray,
+    top_k: int = 10,
+    n_valid=None,
+    sub: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact head-score top-k without materializing the (Q, N) score
+    matrix — the sparse sibling of ``fused_flat_topk`` for FULL-VOCAB-HEAD
+    indexes (the headline en configuration, where scoring IS the head
+    matmul + top-k, tdr/ops/score.py `_fused_topk_core`'s early return).
+
+    Phase 1 streams the (D, N) head through VMEM in doc blocks (docs land
+    on sublanes, so the per-``sub``-doc max is a supported major-axis
+    reshape) and writes only group maxima.  Phase 2 re-scores the k*sub
+    candidate docs from the CSR-active terms directly: score[q, d] =
+    sum_t qw[t] * head[slot_t, d] — a (Q, T, k*sub) element gather, tiny
+    next to the score matrix the XLA path writes and re-reads.
+    """
+    from tdr.index.build import SparseIndex  # noqa: F401  (type anchor)
+
+    D, N = index.head_rows.shape
+    Q, T = qids.shape
+    Qp = _round_up(max(Q, 1), _LANES)
+    esize = index.head_rows.dtype.itemsize
+    B = _pick_head_block(N, Qp, D, esize, sub)
+    ng = N // sub
+
+    qids = jnp.clip(qids, 0, index.vocab_size - 1)
+    slot = index.head_slot[qids]                           # (Q, T)
+    active = (slot >= 0) & (qw > 0)
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0)
+    W = jnp.zeros((Q, D), jnp.float32).at[
+        q_idx.reshape(-1), jnp.where(active, slot, 0).reshape(-1)
+    ].add(jnp.where(active, qw, 0.0).reshape(-1))
+    Wt = jnp.zeros((D, Qp), index.head_rows.dtype).at[:, :Q].set(
+        W.T.astype(index.head_rows.dtype))
+
+    limit = n_valid if n_valid is not None else index.n_docs
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    bias = jnp.where(iota_n < limit, 0.0, NEG).astype(jnp.float32)
+
+    gmaxT = pl.pallas_call(
+        _make_head_kernel(sub),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((D, Qp), lambda i: (0, 0)),
+            pl.BlockSpec((D, B), lambda i: (0, i)),
+            pl.BlockSpec((B, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((B // sub, Qp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ng, Qp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * Qp,
+            bytes_accessed=N * D * esize + ng * Qp * 4 + D * Qp * esize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Wt, index.head_rows, bias)
+
+    gmax = gmaxT.T[:Q]                                     # (Q, ng)
+    k_g = min(top_k, ng)
+    _, gsel = jax.lax.top_k(gmax, k_g)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (Q, k_g, sub), 2)
+    cols = (gsel[:, :, None] * sub + offs).reshape(Q, k_g * sub)
+    # exact rescore from the active terms: the effective per-term weight is
+    # the SLOT-summed, head-dtype-rounded value the kernel contracted with
+    # (duplicate-slot terms double-count if rescored from raw qw)
+    w_eff = W[q_idx, jnp.where(active, slot, 0)].astype(
+        index.head_rows.dtype).astype(jnp.float32)         # (Q, T)
+    w_eff = jnp.where(active, w_eff, 0.0)
+    # first-occurrence guard: terms sharing a slot must contribute once
+    first = jnp.ones((Q, T), bool)
+    if T > 1:
+        eq_prior = (slot[:, :, None] == slot[:, None, :]) \
+            & (jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
+               < jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1))
+        eq_prior = eq_prior & active[:, :, None] & active[:, None, :]
+        first = ~jnp.any(eq_prior, axis=2)
+    w_eff = jnp.where(first, w_eff, 0.0)
+    rows_cand = index.head_rows[
+        jnp.where(active, slot, 0)[:, :, None],
+        cols[:, None, :]].astype(jnp.float32)              # (Q, T, k_g*sub)
+    scores = jnp.einsum("qt,qtc->qc", w_eff, rows_cand,
+                        preferred_element_type=jnp.float32)
+    scores = scores + bias[cols, 0]
+    negv, rows = jax.lax.sort((-scores, cols), num_keys=2)
+    k_eff = min(top_k, k_g * sub)
+    vals, rows = -negv[:, :k_eff], rows[:, :k_eff]
+    dead = vals <= NEG / 2
+    vals = jnp.where(dead, -jnp.inf, vals)
+    rows = jnp.where(dead, 0, rows)
+    if k_eff < top_k:
+        vals = jnp.pad(vals, ((0, 0), (0, top_k - k_eff)),
+                       constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, top_k - k_eff)))
+    return vals, rows

@@ -365,6 +365,23 @@ def _fused_topk_core(
     #    per-device valid length, tdr.parallel.sharded)
     if head_engine == "gather":
         head, overflow_h = _head_scores_capped(index, qids, qw, _HEAD_CHUNK)
+    elif head_engine in ("fused", "fused_interpret"):
+        # full-vocab-head fast path without the (Q, N) score matrix: the
+        # Pallas block-max kernel + candidate rescore (tdr/ops/pallas_flat
+        # fused_head_topk).  Only reachable when the head covers the vocab
+        # (no tail merge needs materialized scores) — _resolve_head_engine
+        # guards this; asserted here so a bad caller fails loudly.
+        from tdr.ops.pallas_flat import fused_head_topk
+
+        assert index.head_size >= index.vocab_size, "fused head needs no tail"
+        k = min(top_k, index.n_docs_pad)
+        hv, hi = fused_head_topk(index, qids, qw, top_k=k, n_valid=n_valid,
+                                 interpret=(head_engine == "fused_interpret"))
+        if k < top_k:
+            hv = jnp.pad(hv, ((0, 0), (0, top_k - k)),
+                         constant_values=-jnp.inf)
+            hi = jnp.pad(hi, ((0, 0), (0, top_k - k)))
+        return hv, hi, jnp.zeros((Q,), bool)
     else:
         head = _head_scores_matmul(index, qids, qw)
         overflow_h = jnp.zeros((Q,), bool)

@@ -128,3 +128,64 @@ def test_availability_gate():
     idx = build_flat_index(emb)
     v, r = flat_search(idx, jnp.asarray(queries[:3]), 10)
     assert np.asarray(v).shape == (3, 10)
+
+
+class TestFusedHeadTopk:
+    """Sparse full-vocab-head fused engine (fused_head_topk) vs the
+    matmul+top_k engine, interpret mode."""
+
+    def _index(self, n_docs=600, vocab_n=500, seed=11):
+        from tdr.index import build_index
+        from tdr.text import build_vocab, encode_docs
+        from tdr.utils.config import IndexConfig
+
+        rng = np.random.RandomState(seed)
+        docs = [[f"t{rng.randint(vocab_n)}"
+                 for _ in range(rng.randint(5, 120))]
+                for _ in range(n_docs)]
+        vocab = build_vocab(docs)
+        coo = encode_docs(docs, vocab)
+        idx = build_index(*coo, vocab.size,
+                          index_cfg=IndexConfig(doc_pad_multiple=64,
+                                                nnz_pad_multiple=64,
+                                                head_budget_bytes=1 << 30),
+                          head_size=None)
+        assert idx.head_size >= idx.vocab_size, "test needs full-vocab head"
+        return vocab, idx
+
+    def test_matches_matmul_engine(self):
+        from tdr.ops.score import score_and_topk_fused
+        from tdr.text import encode_queries
+
+        vocab, idx = self._index()
+        rng = np.random.RandomState(3)
+        queries = [[f"t{rng.randint(500)}" for _ in range(rng.randint(1, 9))]
+                   for _ in range(23)]
+        queries[1] = queries[1][:2] * 3          # duplicate-slot guard path
+        qids, qw = encode_queries(queries, vocab, 16)
+        qids, qw = jnp.asarray(qids), jnp.asarray(qw)
+        v_m, d_m = score_and_topk_fused(idx, qids, qw, top_k=10,
+                                        tail_budget=256)
+        v_f, d_f = score_and_topk_fused(idx, qids, qw, top_k=10,
+                                        tail_budget=256,
+                                        head_engine="fused_interpret")
+        v_m, d_m, v_f, d_f = map(np.asarray, (v_m, d_m, v_f, d_f))
+        for q in range(v_m.shape[0]):
+            fin = np.isfinite(v_m[q])
+            np.testing.assert_allclose(v_f[q][fin], v_m[q][fin],
+                                       rtol=2e-3, atol=2e-3)
+            assert len(set(d_f[q][fin]) & set(d_m[q][fin])) >= fin.sum() - 1
+
+    def test_availability_gate(self):
+        from tdr.ops.pallas_flat import fused_head_available
+
+        _, idx = self._index()
+        # small corpus: gated off (compile cost not worth it)
+        assert not fused_head_available(idx, 10)
+        import dataclasses
+        big = dataclasses.replace(
+            idx, head_rows=jnp.zeros((64, 65536), jnp.bfloat16))
+        assert fused_head_available(big, 10)
+        assert not fused_head_available(
+            dataclasses.replace(big, head_rows=jnp.zeros((64, 65536),
+                                                         jnp.int8)), 10)
