@@ -153,7 +153,7 @@ class SparseModel:
         (tdr/ops/pallas_flat.fused_head_topk) on TPU for full-vocab-head
         indexes in exact mode — the (Q, N) score matrix never lands in
         HBM; the full-head matmul otherwise."""
-        if self.topk_mode != "exact":
+        if self.topk_mode not in ("exact", "exact_compact"):
             return "matmul"
         from tdr.ops.pallas_flat import fused_head_available
 

@@ -472,18 +472,26 @@ def _fused_topk_core(
         return (jnp.take_along_axis(mv, sel_order, axis=1),
                 jnp.take_along_axis(mdocs, sel_order, axis=1))
 
+    import os as _os
+    _merge_mode = _os.environ.get("TDR_DEBUG_MERGE", "normal")
+
     def _head_at(d_x):
         # row-batched gather: take_along_axis keeps the batch dim so XLA
         # gathers within each 1 MB head row instead of the flat 268 MB
         # operand (A/B'd fresh-process on the v5e: 8.3 -> 7.0 ms at
         # (Q=256, B=2048, N=262k); the flat-index form was the round-4
         # original)
+        if _merge_mode == "zero":          # debug ablation: gather cost
+            return jnp.zeros_like(d_x, jnp.float32)
+        src = head
+        if _merge_mode == "barrier":       # debug: defuse from producers
+            src = jax.lax.optimization_barrier(head)
         return jnp.take_along_axis(
-            head, jnp.minimum(d_x, index.n_docs_pad - 1), axis=1)
+            src, jnp.minimum(d_x, index.n_docs_pad - 1), axis=1)
 
     live = is_last & m_s
     M = min(B, max(512, 2 * index.tail_pmax))
-    if topk_mode == "approx" and M < B:
+    if topk_mode in ("approx", "exact_compact") and M < B:
         # tier 1: keep the M largest-tail live slots (a dropped doc's total
         # is then bounded by hv_k + tau).  Head candidates get their EXACT
         # totals too (a head-top-k doc whose live slot was dropped would
@@ -524,14 +532,30 @@ def _fused_topk_core(
         # approx_max_k falls back to exact top-k, so hv_k is exact and the
         # tau bound makes even this path exact (pinned by
         # test_live_slot_compaction_exact_beyond_budget).
-        risky = jnp.any(t1_vals[:, k - 1] < hv_k + tau)
+        if topk_mode == "exact_compact":
+            # EXACT with the M-slot gather (round 5, VERDICT r4 #2): the
+            # merge gather is ~10 of the 19.2 ms stress exact pass
+            # (zero-gather ablation 9.09 vs 19.18 ms; an optimization_
+            # barrier changed nothing, so it is genuine latency-bound
+            # random access, not a fusion pathology).  Instead of the
+            # device lax.cond tier-2 (whose mere presence lowered the pass
+            # 6x worse, CLAUDE.md) bound failures fold into the PER-QUERY
+            # ``overflow`` flag and ride the existing exact-scatter rescue
+            # in score_and_topk_fused — rare by construction: a query only
+            # trips when its live tail slots exceed M AND the dropped
+            # bound reaches its top-k boundary.
+            risky_q = t1_vals[:, k - 1] < hv_k + tau
+            overflow = overflow | risky_q
+            vals_out, docs_out = t1_vals, t1_docs
+        else:
+            risky = jnp.any(t1_vals[:, k - 1] < hv_k + tau)
 
-        def tier2(_):
-            return _merge(d_s, jnp.where(live, _head_at(d_s) + tail_sum,
-                                         NEG_INF), hv)
+            def tier2(_):
+                return _merge(d_s, jnp.where(live, _head_at(d_s) + tail_sum,
+                                             NEG_INF), hv)
 
-        vals_out, docs_out = jax.lax.cond(
-            risky, tier2, lambda _: (t1_vals, t1_docs), None)
+            vals_out, docs_out = jax.lax.cond(
+                risky, tier2, lambda _: (t1_vals, t1_docs), None)
     else:
         vals_out, docs_out = _merge(
             d_s, jnp.where(live, _head_at(d_s) + tail_sum, NEG_INF), hv)

@@ -306,3 +306,31 @@ class TestGatherHeadEngine:
         assert got8 == want8
         got12 = m.retrieve_tokens(queries, k=5)       # Q=12 -> matmul
         assert got12 == m_off.retrieve_tokens(queries, k=5)
+
+
+@pytest.mark.parametrize("heavy", [False, True])
+def test_exact_compact_matches_exact(heavy):
+    """topk_mode="exact_compact" (round 5): tier-1 M-slot merge with the
+    per-query bound folded into the overflow/scatter rescue — results must
+    match plain exact mode exactly, including when queries are tail-heavy
+    enough to drop live slots (the rescue path)."""
+    rng = np.random.RandomState(11)
+    vocab, coo, qids, qw = _random_world(rng, n_docs=700, vocab_n=900,
+                                         n_queries=24)
+    idx = build_index(*coo, vocab.size, index_cfg=IndexConfig(**F32),
+                      head_size=32)
+    if heavy:
+        # repeat the densest terms so live tail slots exceed the M cut
+        df = np.asarray(idx.stats.df)
+        dense_terms = np.argsort(-df)[:40]
+        q = np.asarray(qids).copy()
+        q[:, :12] = dense_terms[rng.randint(0, 40, (q.shape[0], 12))]
+        qids = jnp.asarray(q)
+        qw = jnp.asarray(np.maximum(np.asarray(qw), 1.0))
+    v_e, d_e = score_and_topk_fused(idx, qids, qw, top_k=10, tail_budget=512)
+    v_c, d_c = score_and_topk_fused(idx, qids, qw, top_k=10, tail_budget=512,
+                                    topk_mode="exact_compact")
+    v_e, d_e, v_c, d_c = map(np.asarray, (v_e, d_e, v_c, d_c))
+    np.testing.assert_allclose(v_c, v_e, rtol=1e-6, atol=1e-6)
+    for a, b, va in zip(d_c, d_e, v_e):
+        assert set(a[np.isfinite(va)]) == set(b[np.isfinite(va)])
