@@ -222,14 +222,26 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
         batches.append((jnp.asarray(qids), jnp.asarray(qw)))
 
     engine = model._resolved_tail_engine()
+    # round-5 timing rule (CLAUDE.md): block_until_ready EARLY-ACKS on this
+    # tunnel — every timed region ends with a device checksum of all
+    # outputs pulled to host, so work cannot be acked away
+    pack = jax.jit(lambda vs: sum(jnp.sum(v) for v in vs))
+
+    def _chk(outs):
+        return float(np.asarray(pack([o[0].astype(jnp.float32)
+                                      for o in outs])))
+
+    def timed(f):
+        _chk([f(batches[-1])])                     # compile + warm
+        t0 = time.perf_counter()
+        outs = [f(b) for b in batches[:n_rep]]
+        _chk(outs)
+        return (time.perf_counter() - t0) / n_rep, outs
+
     fn = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
                                         tail_budget=model.tail_budget,
                                         tail_engine=engine)
-    jax.block_until_ready(fn(batches[-1]))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [fn(b) for b in batches[:n_rep]]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n_rep
+    dt, outs = timed(fn)
 
     # approx head selection A/B (topk_mode="approx"): same engine, the
     # head candidate top-k swapped for lax.approx_max_k @ recall 0.95
@@ -238,12 +250,20 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
                                         tail_engine=engine,
                                         topk_mode="approx")
     exact_docs = np.asarray(outs[0][1])
-    jax.block_until_ready(fa(batches[-1]))
-    t0 = time.perf_counter()
-    outs_a = [fa(b) for b in batches[:n_rep]]
-    jax.block_until_ready(outs_a)
-    dt_a = (time.perf_counter() - t0) / n_rep
+    dt_a, outs_a = timed(fa)
     approx_docs = np.asarray(outs_a[0][1])
+
+    # exact_compact A/B (round 5): tier-1 M-slot merge, still exact —
+    # pays a full-width tier-2 re-merge per tau-bound-tripped batch
+    fc = lambda b: score_and_topk_fused(index, b[0], b[1], top_k=10,
+                                        tail_budget=model.tail_budget,
+                                        tail_engine=engine,
+                                        topk_mode="exact_compact")
+    dt_c, outs_c = timed(fc)
+    compact_docs = np.asarray(outs_c[0][1])
+    overlap_c = np.mean([len(set(e) & set(a)) / len(e)
+                         for e, a in zip(exact_docs, compact_docs)])
+    del outs_c
     overlap = np.mean([len(set(e) & set(a)) / len(e)
                        for e, a in zip(exact_docs, approx_docs)])
 
@@ -257,11 +277,7 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
     f8 = lambda b: score_and_topk_fused(index8, b[0], b[1], top_k=10,
                                         tail_budget=model.tail_budget,
                                         tail_engine=engine)
-    jax.block_until_ready(f8(batches[-1]))
-    t0 = time.perf_counter()
-    outs_8 = [f8(b) for b in batches[:n_rep]]
-    jax.block_until_ready(outs_8)
-    dt_8 = (time.perf_counter() - t0) / n_rep
+    dt_8, outs_8 = timed(f8)
     int8_docs = np.asarray(outs_8[0][1])
     overlap_8 = np.mean([len(set(e) & set(a)) / len(e)
                          for e, a in zip(exact_docs, int8_docs)])
@@ -270,11 +286,7 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
                                          tail_budget=model.tail_budget,
                                          tail_engine=engine,
                                          topk_mode="approx")
-    jax.block_until_ready(f8a(batches[-1]))
-    t0 = time.perf_counter()
-    outs_8a = [f8a(b) for b in batches[:n_rep]]
-    jax.block_until_ready(outs_8a)
-    dt_8a = (time.perf_counter() - t0) / n_rep
+    dt_8a, outs_8a = timed(f8a)
     del index8, outs_8, outs_8a
 
     N = int(index.n_docs_pad)
@@ -296,6 +308,8 @@ def _kernel_roofline(model, batch: int, peak_gbps: float,
         "kernel_ms_per_batch": round(dt * 1e3, 2),
         "kernel_approx_ms_per_batch": round(dt_a * 1e3, 2),
         "kernel_approx_top10_overlap": round(float(overlap), 4),
+        "kernel_exact_compact_ms_per_batch": round(dt_c * 1e3, 2),
+        "kernel_exact_compact_top10_overlap": round(float(overlap_c), 4),
         "kernel_int8_ms_per_batch": round(dt_8 * 1e3, 2),
         "kernel_int8_top10_overlap": round(float(overlap_8), 4),
         "kernel_int8_approx_ms_per_batch": round(dt_8a * 1e3, 2),

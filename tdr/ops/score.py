@@ -398,6 +398,13 @@ def _fused_topk_core(
         hv, hi = jax.lax.approx_max_k(head, k, recall_target=0.95)
     else:
         hv, hi = fast_topk(head, k)                         # (Q, k)
+        if topk_mode == "exact_compact":
+            # the TopK custom call's output feeding the tier-2 lax.cond
+            # chain lowers the whole pass ~6x worse (measured 130 vs 13.3
+            # ms straight-line core; approx_max_k upstream of the SAME
+            # cond is fine at 11.2) — a barrier decouples the custom call
+            # from the conditional's scheduling
+            hv, hi = jax.lax.optimization_barrier((hv, hi))
 
     # full-vocab head (the waterfill budget split saturates small-vocab
     # languages, router.py): every term is a head row, the tail is empty —
@@ -532,30 +539,36 @@ def _fused_topk_core(
         # approx_max_k falls back to exact top-k, so hv_k is exact and the
         # tau bound makes even this path exact (pinned by
         # test_live_slot_compaction_exact_beyond_budget).
-        if topk_mode == "exact_compact":
-            # EXACT with the M-slot gather (round 5, VERDICT r4 #2): the
-            # merge gather is ~10 of the 19.2 ms stress exact pass
-            # (zero-gather ablation 9.09 vs 19.18 ms; an optimization_
-            # barrier changed nothing, so it is genuine latency-bound
-            # random access, not a fusion pathology).  Instead of the
-            # device lax.cond tier-2 (whose mere presence lowered the pass
-            # 6x worse, CLAUDE.md) bound failures fold into the PER-QUERY
-            # ``overflow`` flag and ride the existing exact-scatter rescue
-            # in score_and_topk_fused — rare by construction: a query only
-            # trips when its live tail slots exceed M AND the dropped
-            # bound reaches its top-k boundary.
-            risky_q = t1_vals[:, k - 1] < hv_k + tau
-            overflow = overflow | risky_q
-            vals_out, docs_out = t1_vals, t1_docs
-        else:
-            risky = jnp.any(t1_vals[:, k - 1] < hv_k + tau)
+        # topk_mode="exact_compact" (round 5, VERDICT r4 #2) takes this
+        # same tier-1/tier-2 structure with EXACT head selection, which
+        # by the argument above makes the whole result exact.  Round-5
+        # rescue economics, measured on a fabricated stress-shaped index
+        # (checksum-pull timing, /tmp ablations recorded in ARCHITECTURE):
+        #   * the merge gather is ~10 of the 19.2 ms exact pass
+        #     (zero-gather ablation 9.09 vs 19.18 ms/batch; an
+        #     optimization_barrier changed nothing — genuine latency-bound
+        #     random access, not a fusion pathology);
+        #   * the tier-1 core alone runs 13.3 ms (M=768 of B=2048);
+        #   * an alternative rescue — folding per-query bound failures
+        #     into the outer overflow/scatter cond — cost 130 ms/batch
+        #     WITH THE RESCUE NEVER TAKEN (overflow frac 0.0): a cond
+        #     whose predicate depends on the end of the pipeline
+        #     pessimizes the whole program, the same 6x signature as r4's
+        #     tier-2-in-exact cut;
+        #   * THIS tier-2 cond (predicate equally late, branch = the
+        #     full-width re-merge, not the scatter) measures fine when
+        #     rarely taken: approx mode runs 11.2 ms with it.
+        # So exact_compact pays a tier-2 re-merge at the batch rate the
+        # tau bound trips — a win where tails are moderate, degrading
+        # toward (not past) ~matching exact where every batch trips.
+        risky = jnp.any(t1_vals[:, k - 1] < hv_k + tau)
 
-            def tier2(_):
-                return _merge(d_s, jnp.where(live, _head_at(d_s) + tail_sum,
-                                             NEG_INF), hv)
+        def tier2(_):
+            return _merge(d_s, jnp.where(live, _head_at(d_s) + tail_sum,
+                                         NEG_INF), hv)
 
-            vals_out, docs_out = jax.lax.cond(
-                risky, tier2, lambda _: (t1_vals, t1_docs), None)
+        vals_out, docs_out = jax.lax.cond(
+            risky, tier2, lambda _: (t1_vals, t1_docs), None)
     else:
         vals_out, docs_out = _merge(
             d_s, jnp.where(live, _head_at(d_s) + tail_sum, NEG_INF), hv)
