@@ -19,6 +19,7 @@ the semantics reference it is tested against.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Tuple
 
@@ -26,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from tdr.index.build import SparseIndex
-from tdr.ops.topk import fast_topk
+from tdr.ops.topk import fast_topk, topk_grouped
 
 NEG_INF = jnp.float32(-jnp.inf)
 # query language code that matches every document (unknown-language queries
@@ -397,14 +398,36 @@ def _fused_topk_core(
         # final merge stay exact.  Falls back to exact off-TPU.
         hv, hi = jax.lax.approx_max_k(head, k, recall_target=0.95)
     else:
-        hv, hi = fast_topk(head, k)                         # (Q, k)
         if topk_mode == "exact_compact":
+            # WIDENED head candidate set (tail-bearing indexes only): the
+            # tier-1 exactness bound caps a non-candidate doc's head score
+            # by the WORST selected head value, so selecting k_sel >> k
+            # head candidates tightens the bound base from hv[k] to
+            # hv[k_sel] — which lets tier 1 keep far fewer tail slots (M
+            # below) for the same no-trip rate.  The economics: one extra
+            # head candidate costs a (Q, 1) searchsorted + merge column
+            # (~ns); one extra tail slot costs a head[q, d] random-access
+            # gather element (~19 ns, THE dominant tier-1 cost).  Trading
+            # 54 wide-head candidates for 384 gather slots is the round-5
+            # measured win.
+            k_sel = min(max(2 * k, 64), index.n_docs_pad) \
+                if index.head_size < index.vocab_size else k
+            k_sel = int(_os.environ.get("TDR_AB_KSEL", k_sel))
+            # grouped-8 selection: reduce the (Q, N) scores to per-8-doc
+            # maxima (one streaming VPU read) and top-k the 8x-shorter
+            # groups — bit-identical to lax.top_k (tdr.ops.topk docstring
+            # proof); measured 8.31 -> 7.66 ms fused with the stress head
+            # matmul (round 5; round 3's grouped A/B lost with group=128
+            # because the k*128 candidate gather dominated).
+            hv, hi = topk_grouped(head, k_sel, group=8)
             # the TopK custom call's output feeding the tier-2 lax.cond
             # chain lowers the whole pass ~6x worse (measured 130 vs 13.3
             # ms straight-line core; approx_max_k upstream of the SAME
             # cond is fine at 11.2) — a barrier decouples the custom call
             # from the conditional's scheduling
             hv, hi = jax.lax.optimization_barrier((hv, hi))
+        else:
+            hv, hi = fast_topk(head, k)                     # (Q, k)
 
     # full-vocab head (the waterfill budget split saturates small-vocab
     # languages, router.py): every term is a head row, the tail is empty —
@@ -479,7 +502,6 @@ def _fused_topk_core(
         return (jnp.take_along_axis(mv, sel_order, axis=1),
                 jnp.take_along_axis(mdocs, sel_order, axis=1))
 
-    import os as _os
     _merge_mode = _os.environ.get("TDR_DEBUG_MERGE", "normal")
 
     def _head_at(d_x):
@@ -497,7 +519,17 @@ def _fused_topk_core(
             src, jnp.minimum(d_x, index.n_docs_pad - 1), axis=1)
 
     live = is_last & m_s
-    M = min(B, max(512, 2 * index.tail_pmax))
+    if topk_mode == "exact_compact":
+        # the widened head candidate set (k_sel above) tightens the tier-2
+        # bound base enough that tier 1 holds at HALF the slot budget —
+        # the M-slot head[q, d] gather is the dominant tier-1 cost
+        # (~19 ns/slot/query), so M is sized as small as the no-trip rate
+        # allows: max(256, pmax) measured trip-free on the vocab-stress
+        # workload where max(512, 2*pmax) was the pre-widening minimum.
+        M = min(B, max(256, index.tail_pmax))
+        M = int(_os.environ.get("TDR_AB_M", M))
+    else:
+        M = min(B, max(512, 2 * index.tail_pmax))
     if topk_mode in ("approx", "exact_compact") and M < B:
         # tier 1: keep the M largest-tail live slots (a dropped doc's total
         # is then bounded by hv_k + tau).  Head candidates get their EXACT
@@ -517,7 +549,9 @@ def _fused_topk_core(
         hit = ((posr >= 0)
                & (jnp.take_along_axis(d_s, posr_c, axis=1) == hi)
                & jnp.take_along_axis(m_s, posr_c, axis=1))
-        hv_k = hv[:, k - 1]                    # pre-augmentation bound base
+        hv_k = hv[:, -1]                       # pre-augmentation bound base
+        # (the WORST selected head value: hv[k] in approx mode, hv[k_sel]
+        # in exact_compact — the wide set makes this bound much tighter)
         hv = hv + jnp.where(
             hit, jnp.take_along_axis(tail_sum, posr_c, axis=1), 0.0)
 
